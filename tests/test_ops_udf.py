@@ -1,0 +1,130 @@
+"""changetz / convert — the pandas-UDF operators, against the reference's
+DST and format-conversion goldens (tests/test_chainables_changetz.py,
+tests/test_chainables_convert.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from qsvspark import Q
+from qsvspark.errors import InvalidArgumentError
+
+
+class TestChangetz:
+    def test_utc_identity(self, simple_df):
+        q = Q(simple_df).changetz("datetime", from_tz="UTC", to_tz="UTC")
+        got = [r["datetime"] for r in q.df.collect()]
+        assert got == [
+            "2023-01-01T12:00:00.000000+00:00",
+            "2023-01-01T13:00:00.000000+00:00",
+            "2023-01-01T14:00:00.000000+00:00",
+        ]
+
+    def test_to_losangeles(self, simple_df):
+        q = Q(simple_df).changetz("datetime", "UTC", "America/Los_Angeles")
+        assert q.df.collect()[0]["datetime"] == "2023-01-01T04:00:00.000000-08:00"
+
+    def test_to_tokyo_with_output_format(self, simple_df):
+        q = Q(simple_df).changetz(
+            "datetime", "UTC", "Asia/Tokyo", output_format="%Y-%m-%d %H:%M:%S"
+        )
+        assert [r["datetime"] for r in q.df.collect()] == [
+            "2023-01-01 21:00:00",
+            "2023-01-01 22:00:00",
+            "2023-01-01 23:00:00",
+        ]
+
+    def test_input_format(self, simple_df):
+        q = Q(simple_df).changetz(
+            "datetime", "UTC", "Asia/Tokyo", input_format="%Y-%m-%d %H:%M:%S"
+        )
+        assert q.df.collect()[0]["datetime"] == "2023-01-01T21:00:00.000000+09:00"
+
+    def test_dst_earliest(self, spark, dst_csv):
+        # reference golden: tests/test_chainables_changetz.py:57-71
+        q = Q.load(spark, dst_csv).changetz(
+            "datetime", "America/Los_Angeles", "UTC",
+            input_format="%Y-%m-%d %H:%M:%S", ambiguous="earliest",
+        )
+        assert [r["datetime"] for r in q.df.collect()] == [
+            "2023-11-05T07:30:00.000000+00:00",
+            "2023-11-05T08:30:00.000000+00:00",  # 1st (PDT) occurrence
+            "2023-11-05T08:45:00.000000+00:00",
+            "2023-11-05T10:30:00.000000+00:00",
+            "2023-03-12T09:30:00.000000+00:00",  # 01:30 is PST (pre-gap)
+            "2023-03-12T10:30:00.000000+00:00",
+        ]
+
+    def test_dst_latest(self, spark, dst_csv):
+        q = Q.load(spark, dst_csv).changetz(
+            "datetime", "America/Los_Angeles", "UTC",
+            input_format="%Y-%m-%d %H:%M:%S", ambiguous="latest",
+        )
+        assert [r["datetime"] for r in q.df.collect()] == [
+            "2023-11-05T07:30:00.000000+00:00",
+            "2023-11-05T09:30:00.000000+00:00",  # 2nd (PST) occurrence
+            "2023-11-05T09:45:00.000000+00:00",
+            "2023-11-05T10:30:00.000000+00:00",
+            "2023-03-12T09:30:00.000000+00:00",
+            "2023-03-12T10:30:00.000000+00:00",
+        ]
+
+    def test_invalid_tz_raises(self, simple_df):
+        with pytest.raises(InvalidArgumentError, match="Invalid source timezone"):
+            Q(simple_df).changetz("datetime", "Invalid/Timezone", "UTC")
+        with pytest.raises(InvalidArgumentError, match="Invalid target timezone"):
+            Q(simple_df).changetz("datetime", "UTC", "Invalid/Timezone")
+
+
+class TestConvert:
+    # reference goldens: tests/test_chainables_convert.py
+    @pytest.fixture(scope="class")
+    def json_df(self, spark):
+        return spark.createDataFrame(
+            [
+                ('{"name": "Alice", "age": 25, "city": "Tokyo"}',),
+                ('{"product": "laptop", "price": 89999, "in_stock": true}',),
+            ],
+            ["json"],
+        )
+
+    def test_json_to_json_pretty_sorted(self, json_df):
+        got = Q(json_df).convert("json", "json", "json").df.collect()
+        assert got[0]["json"] == '{\n  "age": 25,\n  "city": "Tokyo",\n  "name": "Alice"\n}'
+
+    def test_json_to_yaml(self, json_df):
+        got = Q(json_df).convert("json", "json", "yaml").df.collect()
+        assert got[0]["json"] == "age: 25\ncity: Tokyo\nname: Alice"
+        assert got[1]["json"] == "in_stock: true\nprice: 89999\nproduct: laptop"
+
+    def test_json_to_xml(self, json_df):
+        got = Q(json_df).convert("json", "json", "xml").df.collect()
+        assert got[0]["json"] == "<age>25</age><city>Tokyo</city><name>Alice</name>"
+        assert got[1]["json"] == "<in_stock>true</in_stock><price>89999</price><product>laptop</product>"
+
+    def test_yaml_roundtrip(self, spark):
+        df = spark.createDataFrame([("a: 1\nb: two",)], ["y"])
+        got = Q(df).convert("y", "yaml", "json").df.collect()[0]["y"]
+        assert json.loads(got) == {"a": 1, "b": "two"}
+
+    def test_xml_to_json(self, spark):
+        df = spark.createDataFrame([("<name>Alice</name><age>25</age>",)], ["x"])
+        got = Q(df).convert("x", "xml", "json").df.collect()[0]["x"]
+        assert json.loads(got) == {"name": "Alice", "age": "25"}
+
+    def test_malformed_json_cleanup(self, spark):
+        # doubled quotes from CSV-quoted JSON (convert.rs:190-233)
+        df = spark.createDataFrame([('"{""a"": 1}"',)], ["j"])
+        got = Q(df).convert("j", "json", "json").df.collect()[0]["j"]
+        assert json.loads(got) == {"a": 1}
+
+    def test_error_becomes_comment(self, spark):
+        df = spark.createDataFrame([("not json at all {",)], ["j"])
+        got = Q(df).convert("j", "json", "json").df.collect()[0]["j"]
+        assert got.startswith("#") and got.endswith("error")
+
+    def test_unknown_format_raises(self, json_df):
+        with pytest.raises(InvalidArgumentError):
+            Q(json_df).convert("json", "json", "toml")
