@@ -1,38 +1,372 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable built through the qsvspark public
+API; ``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names are
+aliased identically on both sides; float aggregates are made hash-stable
+by integer-cents tricks or fixed rounding; timestamps are exported as
+epoch micros (Spark ``unix_micros`` == DuckDB ``epoch_us``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qsvspark import Q  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reference README-style chain over events —
+    filter by event_type, hourly timeline aggregate with sum, ordered."""
+    sf = "/root/testdata/sf0.001"
+    return (
+        Q(_t(spark, sf, "events"))
+        .isin("event_type", ["click", "error", "purchase"])
+        .timeline("ts", "1h", agg="sum", agg_column="value")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------
+
+def q_select(spark, sf):
+    return Q(_t(spark, sf, "lineitem")).select("l_orderkey,l_linenumber,l_returnflag").df
+
+
+def q_select_range(spark, sf):
+    # 1-based index range 1:4 → first four columns
+    return Q(_t(spark, sf, "nation")).select("1:3").df
+
+
+def q_renamecol(spark, sf):
+    return Q(_t(spark, sf, "nation")).renamecol("n_name", "nation_name").df
+
+
+def q_isin_string(spark, sf):
+    return (
+        Q(_t(spark, sf, "events"))
+        .isin("event_type", ["click", "error"])
+        .select("event_id,event_type,user_id")
+        .df
+    )
+
+
+def q_isin_numeric(spark, sf):
+    # int column vs string values — string-compare semantics, but the
+    # canonical-int rewrite keeps it pushdown-eligible
+    return (
+        Q(_t(spark, sf, "lineitem"))
+        .isin("l_linenumber", ["1", "7"])
+        .select("l_orderkey,l_linenumber")
+        .df
+    )
+
+
+def q_contains(spark, sf):
+    return (
+        Q(_t(spark, sf, "documents"))
+        .contains("text", "spark")
+        .select("doc_id,source")
+        .df
+    )
+
+
+def q_contains_ci(spark, sf):
+    return (
+        Q(_t(spark, sf, "customer"))
+        .contains("c_mktsegment", "AUTO", ignorecase=True)
+        .select("c_custkey,c_mktsegment")
+        .df
+    )
+
+
+def q_grep(spark, sf):
+    # any-column regex over nation — matches n_name NATION_1/_1x AND the
+    # int key columns rendered as strings (grep's any-column semantics)
+    return Q(_t(spark, sf, "nation")).grep("1$").df
+
+
+def q_grep_invert(spark, sf):
+    return Q(_t(spark, sf, "nation")).grep("1", invert=True).df
+
+
+def q_sed(spark, sf):
+    return (
+        Q(_t(spark, sf, "customer"))
+        .select("c_custkey,c_name")
+        .sed("[0-9]", "#", column="c_name")
+        .df
+    )
+
+
+def q_sort_head(spark, sf):
+    return (
+        Q(_t(spark, sf, "orders"))
+        .sort("o_totalprice,o_orderkey", desc=True)
+        .head(25)
+        .select("o_orderkey,o_totalprice")
+        .df
+    )
+
+
+def q_tail(spark, sf):
+    return Q(_t(spark, sf, "region")).sort("r_regionkey").tail(3).df
+
+
+def q_uniq(spark, sf):
+    return (
+        Q(_t(spark, sf, "lineitem"))
+        .select("l_returnflag,l_linestatus")
+        .uniq(stable=False)
+        .df
+    )
+
+
+def q_count(spark, sf):
+    return Q(_t(spark, sf, "orders")).select("o_orderstatus").count().df
+
+
+def q_pivot(spark, sf):
+    # integer-cents trick for a hash-stable double sum
+    li = _t(spark, sf, "lineitem").withColumn(
+        "qty_cents", F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    return Q(li).pivot(
+        rows="l_returnflag", cols="l_linestatus", values="qty_cents", agg="sum"
+    ).df
+
+
+def q_pivot_mean(spark, sf):
+    out = Q(_t(spark, sf, "lineitem")).pivot(
+        rows="l_returnflag", cols="l_linestatus", values="l_quantity", agg="mean"
+    ).df
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("l_quantity_mean", 4).alias("qty_mean")
+    )
+
+
+def q_timeline(spark, sf):
+    return Q(_t(spark, sf, "events")).timeline("ts", "1h").df
+
+
+def q_timeline_sum(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = Q(ev).timeline("ts", "1d", agg="sum", agg_column="value_cents").df
+    return out.select(
+        "timeline_1d", "count", F.col("sum_value_cents").cast("long").alias("sum_cents")
+    )
+
+
+def q_timeslice(spark, sf):
+    return (
+        Q(_t(spark, sf, "events"))
+        .timeslice("ts", start="2024-01-03 00:00:00", end="2024-01-05 12:00:00")
+        .select("event_id,event_type")
+        .df
+    )
+
+
+def q_timeround(spark, sf):
+    ev = Q(_t(spark, sf, "events")).timeround("ts", "h", output="hour_bucket").df
+    return ev.select("event_id", "hour_bucket")
+
+
+def q_changetz(spark, sf):
+    ev = _t(spark, sf, "events").limit(500).select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+    return Q(ev).changetz(
+        "ts_str", from_tz="UTC", to_tz="Asia/Tokyo",
+        input_format="%Y-%m-%d %H:%M:%S", output_format="%Y-%m-%d %H:%M:%S",
+    ).df
+
+
+def q_convert(spark, sf):
+    # props is a JSON text cell; prettify (json→json) then extract length
+    ev = _t(spark, sf, "events").select("event_id", "props")
+    return Q(ev).convert("props", "json", "json").df
+
+
+def q_join(spark, sf):
+    # quilt join-stage equivalent: equi join, single key (broadcast dim)
+    orders = Q(_t(spark, sf, "orders"))
+    cust = Q(_t(spark, sf, "customer")).renamecol("c_custkey", "o_custkey")
+    return (
+        orders.join(cust, on="o_custkey", how="inner", broadcast_small=True)
+        .select("o_orderkey,o_custkey,c_name,c_mktsegment")
+        .df
+    )
+
+
+def q_join_left(spark, sf):
+    cust = Q(_t(spark, sf, "customer")).renamecol("c_nationkey", "n_nationkey")
+    nat = Q(_t(spark, sf, "nation"))
+    return (
+        cust.join(nat, on="n_nationkey", how="left", broadcast_small=True)
+        .select("c_custkey,n_nationkey,n_name")
+        .df
+    )
+
+
+def q_concat(spark, sf):
+    r = Q(_t(spark, sf, "region"))
+    return r.concat(r).df
+
+
+def q_stats(spark, sf):
+    out = Q(_t(spark, sf, "orders")).select("o_orderkey").stats()
+    return out.select(
+        "column", "dtype", "count", "null_count",
+        F.round("mean", 4).alias("mean_r"),
+        F.round("std", 4).alias("std_r"),
+        "min", "max",
+        F.round("p25", 4).alias("p25_r"),
+        F.round("p50", 4).alias("p50_r"),
+        F.round("p75", 4).alias("p75_r"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "select": q_select,
+        "select_range": q_select_range,
+        "renamecol": q_renamecol,
+        "isin_string": q_isin_string,
+        "isin_numeric": q_isin_numeric,
+        "contains": q_contains,
+        "contains_ci": q_contains_ci,
+        "grep": q_grep,
+        "grep_invert": q_grep_invert,
+        "sed": q_sed,
+        "sort_head": q_sort_head,
+        "tail": q_tail,
+        "uniq": q_uniq,
+        "count": q_count,
+        "pivot": q_pivot,
+        "pivot_mean": q_pivot_mean,
+        "timeline": q_timeline,
+        "timeline_sum": q_timeline_sum,
+        "timeslice": q_timeslice,
+        "timeround": q_timeround,
+        "changetz": q_changetz,
+        "convert": q_convert,
+        "join": q_join,
+        "join_left": q_join_left,
+        "concat": q_concat,
+        "stats": q_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "select": "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+        "select_range": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "renamecol": "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation",
+        "isin_string": (
+            "SELECT event_id, event_type, user_id FROM events "
+            "WHERE event_type IN ('click','error')"
+        ),
+        "isin_numeric": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber IN (1, 7)"
+        ),
+        "contains": (
+            "SELECT doc_id, source FROM documents WHERE contains(text, 'spark')"
+        ),
+        "contains_ci": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE regexp_matches(c_mktsegment, 'AUTO', 'i')"
+        ),
+        "grep": (
+            "SELECT * FROM nation WHERE "
+            "coalesce(regexp_matches(CAST(n_nationkey AS VARCHAR), '1$'), false) OR "
+            "coalesce(regexp_matches(n_name, '1$'), false) OR "
+            "coalesce(regexp_matches(CAST(n_regionkey AS VARCHAR), '1$'), false)"
+        ),
+        "grep_invert": (
+            "SELECT * FROM nation WHERE NOT ("
+            "coalesce(regexp_matches(CAST(n_nationkey AS VARCHAR), '1'), false) OR "
+            "coalesce(regexp_matches(n_name, '1'), false) OR "
+            "coalesce(regexp_matches(CAST(n_regionkey AS VARCHAR), '1'), false))"
+        ),
+        "sed": (
+            "SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS c_name "
+            "FROM customer"
+        ),
+        "sort_head": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 25"
+        ),
+        "tail": (
+            "SELECT * FROM region ORDER BY r_regionkey DESC LIMIT 3"
+        ),
+        "uniq": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "count": (
+            'SELECT o_orderstatus, COUNT(*) AS "count" FROM orders GROUP BY o_orderstatus'
+        ),
+        "pivot": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents_sum "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "pivot_mean": (
+            "SELECT l_returnflag, l_linestatus, ROUND(AVG(l_quantity), 4) AS qty_mean "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "timeline": (
+            "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') "
+            'AS timeline_1h, COUNT(*) AS "count" FROM events GROUP BY 1'
+        ),
+        "timeline_sum": (
+            "SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') "
+            'AS timeline_1d, COUNT(*) AS "count", '
+            "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM events GROUP BY 1"
+        ),
+        "timeslice": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-05 12:00:00'"
+        ),
+        "timeround": (
+            "SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') "
+            "AS hour_bucket FROM events"
+        ),
+        # changetz / convert: pandas-UDF ops with no DuckDB equivalent
+        # (tz-policy / YAML-XML rendering) → rows-only checks
+        "join": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "join_left": (
+            "SELECT c.c_custkey, c.c_nationkey AS n_nationkey, n.n_name "
+            "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        ),
+        "concat": "SELECT * FROM region UNION ALL SELECT * FROM region",
+        "stats": (
+            "SELECT 'o_orderkey' AS \"column\", 'bigint' AS dtype, "
+            "COUNT(o_orderkey) AS \"count\", 0 AS null_count, "
+            "ROUND(AVG(o_orderkey), 4) AS mean_r, "
+            "ROUND(STDDEV_SAMP(o_orderkey), 4) AS std_r, "
+            "CAST(MIN(o_orderkey) AS VARCHAR) AS min, "
+            "CAST(MAX(o_orderkey) AS VARCHAR) AS max, "
+            "ROUND(QUANTILE_CONT(o_orderkey, 0.25), 4) AS p25_r, "
+            "ROUND(QUANTILE_CONT(o_orderkey, 0.50), 4) AS p50_r, "
+            "ROUND(QUANTILE_CONT(o_orderkey, 0.75), 4) AS p75_r "
+            "FROM orders"
+        ),
+    }

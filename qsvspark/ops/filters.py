@@ -10,8 +10,11 @@ from operator import or_
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from qsvspark.ops.helpers import as_string, parse_ts_any, require_columns
+
+_CANONICAL_INT = re.compile(r"^-?(0|[1-9]\d*)$")
 
 
 def isin(df: DataFrame, column: str, values: list) -> DataFrame:
@@ -20,11 +23,22 @@ def isin(df: DataFrame, column: str, values: list) -> DataFrame:
     Reference: /root/reference/src/operations/chainables/isin.rs:4-55 —
     numeric columns are cast to string and compared against string literals
     (:31-44); an empty value list yields an empty result (:22-25).
+
+    Scale note: ``cast(c as string) IN (...)`` cannot push into a parquet
+    scan. When the column is integral and every value is a canonical
+    integer rendering, the native ``c IN (ints)`` predicate is provably
+    equivalent (int→string rendering is bijective on canonical forms), so
+    we rewrite to it — that lands in PushedFilters / row-group pruning.
     """
     require_columns(df, [column])
     if not values:
         return df.filter(F.lit(False))
     svals = [str(v) for v in values]
+    dtype = df.schema[column].dataType
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) and all(
+        _CANONICAL_INT.match(s) for s in svals
+    ):
+        return df.filter(F.col(column).isin([int(s) for s in svals]))
     return df.filter(as_string(column).isin(svals))
 
 
