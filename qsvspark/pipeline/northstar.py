@@ -1,0 +1,241 @@
+"""The north-star pipeline: parse → enrich → route → aggregate over an
+Iceberg-style table of pre-tokenized training sequences, resumable from
+snapshot manifests (BASELINE.json north_rule).
+
+Stage design (all DataFrame-declarative; Catalyst/AQE pick physical plans):
+
+  parse      grok/regex extraction of route fields (shard, seq) from the
+             doc_id/source string columns. Two interchangeable engines:
+             'pandas' — a vectorized Arrow-batched pandas UDF over the
+             doc_id column only (the batched-byte-column form the north
+             star mandates; only doc_id crosses the Python boundary, the
+             token arrays stay in the JVM), and 'native' —
+             regexp_extract, whole-stage codegen, zero Python.
+  enrich     broadcast hash join against the small source dimension
+             (explicit F.broadcast — never a shuffle, never skew-prone).
+  route      single-pass fan-out to per-sink partitions via
+             write.partitionBy(sink): every executor writes its slice of
+             every sink; no per-sink job loop, no collect. The snapshot
+             manifest records per-sink row counts (lineage + metrics).
+  aggregate  per-sink groupBy(source, n_tok bucket) → seq count, uniq doc
+             count, token sum. Partial aggregation collapses heavy-hitter
+             keys map-side; an optional explicit salted two-level variant
+             (salt = hash(doc_id) % S) is provided and property-tested to
+             produce identical results — this is the skew pattern that
+             matters when a groupBy key alone is too hot even for partial
+             agg (e.g. high-cardinality agg states at 10^12 rows).
+
+Resume: each stage writes through SnapshotCatalog keyed on an input
+fingerprint; a rerun finds committed snapshots and skips the work
+(kill-and-restart test in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qsvspark.io.snapshot import SnapshotCatalog
+from qsvspark.pipeline.tokens import source_dim
+
+# doc_id grok pattern: "<source>/part-<shard>/doc-<seq>"
+DOC_ID_RE = r"^(src\d+)/part-(\d+)/doc-(\d+)$"
+
+_PARSE_SCHEMA = T.StructType(
+    [
+        T.StructField("parsed_source", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_PARSE_SCHEMA)
+def _grok_doc_id(doc_id: pd.Series) -> pd.DataFrame:
+    """Vectorized grok: one regex pass per Arrow batch via pandas
+    .str.extract (C-implemented), no per-row Python."""
+    ext = doc_id.str.extract(DOC_ID_RE)
+    return pd.DataFrame(
+        {
+            "parsed_source": ext[0],
+            "shard": pd.to_numeric(ext[1], errors="coerce").astype("Int32"),
+            "seq": pd.to_numeric(ext[2], errors="coerce").astype("Int64"),
+        }
+    )
+
+
+def parse_stage(df: DataFrame, mode: str = "pandas") -> DataFrame:
+    """Extract route fields from doc_id. mode='pandas' (Arrow-batched UDF)
+    or 'native' (regexp_extract, pure codegen). Identical results —
+    asserted in tests."""
+    if mode == "pandas":
+        parsed = df.withColumn("__p", _grok_doc_id(F.col("doc_id")))
+        return parsed.select(
+            "*",
+            F.col("__p.parsed_source").alias("parsed_source"),
+            F.col("__p.shard").alias("shard"),
+            F.col("__p.seq").alias("seq"),
+        ).drop("__p")
+    if mode == "native":
+        d = F.col("doc_id")
+        return (
+            df.withColumn(
+                "parsed_source",
+                F.nullif(F.regexp_extract(d, DOC_ID_RE, 1), F.lit("")),
+            )
+            .withColumn("shard", F.nullif(F.regexp_extract(d, DOC_ID_RE, 2), F.lit("")).cast("int"))
+            .withColumn("seq", F.nullif(F.regexp_extract(d, DOC_ID_RE, 3), F.lit("")).cast("long"))
+        )
+    raise ValueError(f"unknown parse mode '{mode}'")
+
+
+def enrich_stage(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Broadcast-join the source dimension (sink / category / weight)."""
+    return df.join(F.broadcast(dim), on="source", how="left")
+
+
+def bucket_expr(n_tok: F.Column | str, width: int = 64) -> F.Column:
+    c = F.col(n_tok) if isinstance(n_tok, str) else n_tok
+    return ((c / width).cast("int") * width).alias("n_tok_bucket")
+
+
+def aggregate_stage(df: DataFrame, bucket_width: int = 64) -> DataFrame:
+    """Per-sink aggregate: groupBy(sink, source, n_tok_bucket) →
+    seq_count / uniq_docs / tok_sum. The count/uniq semantics mirror the
+    reference's count (count.rs:19-25) and uniq (uniq.rs:5) quilters
+    applied per routed sink."""
+    return (
+        df.withColumn("n_tok_bucket", bucket_expr("n_tok", bucket_width))
+        .groupBy("sink", "source", "n_tok_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("seq_count"),
+            F.count_distinct("doc_id").alias("uniq_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+    )
+
+
+def aggregate_stage_salted(
+    df: DataFrame, bucket_width: int = 64, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-level salted variant for heavy-hitter group keys.
+
+    Salt is a pure function of doc_id, so each doc_id lands in exactly one
+    salt bucket → per-salt COUNT DISTINCT(doc_id) sums to the exact global
+    distinct count (no approximation). Level 1 spreads a hot
+    (sink, source, bucket) key over `salt_buckets` reducers; level 2
+    combines the (tiny) partials. Equality with aggregate_stage is
+    property-tested.
+    """
+    salted = df.withColumn("n_tok_bucket", bucket_expr("n_tok", bucket_width)).withColumn(
+        "__salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("sink", "source", "n_tok_bucket", "__salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct("doc_id").alias("u"),
+        F.sum("n_tok").alias("s"),
+    )
+    return partial.groupBy("sink", "source", "n_tok_bucket").agg(
+        F.sum("c").alias("seq_count"),
+        F.sum("u").alias("uniq_docs"),
+        F.sum("s").alias("tok_sum"),
+    )
+
+
+class NorthStarPipeline:
+    """Resumable parse → enrich → route → aggregate over a tokens table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        parse_mode: str = "pandas",
+        bucket_width: int = 64,
+        num_sources: int = 20,
+        num_sinks: int = 4,
+        salted: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(warehouse)
+        self.parse_mode = parse_mode
+        self.bucket_width = bucket_width
+        self.num_sources = num_sources
+        self.num_sinks = num_sinks
+        self.salted = salted
+
+    def _config_fp(self, input_fingerprint: str, stage: str) -> str:
+        return (
+            f"{input_fingerprint}|{stage}|parse={self.parse_mode}"
+            f"|bw={self.bucket_width}|k={self.num_sources}|s={self.num_sinks}"
+        )
+
+    def run(self, tokens: DataFrame, input_fingerprint: str) -> dict:
+        """Execute all stages; returns metrics incl. per-stage timings,
+        skipped (resumed) stages, and rows/sec throughput."""
+        metrics: dict = {"stages": {}, "resumed": []}
+        t_start = time.time()
+        dim = source_dim(self.spark, self.num_sources, self.num_sinks)
+
+        # parse+enrich are narrow (no shuffle) → fused into the route
+        # write; snapshotting them separately would double the I/O. The
+        # routed table is the first checkpoint; aggregate is the second.
+        routed_fp = self._config_fp(input_fingerprint, "route")
+        snap = self.catalog.find_committed("routed", routed_fp)
+        if snap:
+            metrics["resumed"].append("route")
+            routed = self.catalog.read(self.spark, "routed", snap)
+            route_manifest = self.catalog.manifest("routed", snap)
+        else:
+            t0 = time.time()
+            parsed = parse_stage(tokens, self.parse_mode)
+            enriched = enrich_stage(parsed, dim)
+            route_manifest = self.catalog.write(
+                enriched,
+                "routed",
+                input_fingerprint=routed_fp,
+                lineage={
+                    "stages": ["parse", "enrich", "route"],
+                    "parse_mode": self.parse_mode,
+                    "inputs": [input_fingerprint],
+                },
+                partition_by="sink",
+                count_by="sink",
+            )
+            metrics["stages"]["route"] = round(time.time() - t0, 3)
+            routed = self.catalog.read(self.spark, "routed")
+        metrics["per_sink_counts"] = route_manifest["partition_counts"]
+        metrics["rows"] = route_manifest["row_count"]
+
+        agg_fp = self._config_fp(input_fingerprint, f"aggregate|salted={self.salted}")
+        snap = self.catalog.find_committed("aggregates", agg_fp)
+        if snap:
+            metrics["resumed"].append("aggregate")
+        else:
+            t0 = time.time()
+            agg_fn = aggregate_stage_salted if self.salted else aggregate_stage
+            aggs = agg_fn(routed, self.bucket_width)
+            self.catalog.write(
+                aggs,
+                "aggregates",
+                input_fingerprint=agg_fp,
+                lineage={"stages": ["aggregate"], "inputs": [routed_fp]},
+                count_by="sink",
+            )
+            metrics["stages"]["aggregate"] = round(time.time() - t0, 3)
+
+        total = time.time() - t_start
+        metrics["total_seconds"] = round(total, 3)
+        metrics["sequences_per_sec"] = round(metrics["rows"] / total, 1) if total else None
+        return metrics
+
+    # -- results ------------------------------------------------------
+
+    def routed(self) -> DataFrame:
+        return self.catalog.read(self.spark, "routed")
+
+    def aggregates(self) -> DataFrame:
+        return self.catalog.read(self.spark, "aggregates")

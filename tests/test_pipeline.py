@@ -1,0 +1,154 @@
+"""North-star pipeline invariants (BASELINE.json north_rule):
+  - per-row token-array equality across parse→route,
+  - per-sink aggregate-count equality vs direct computation,
+  - salted aggregation exactly equals unsalted,
+  - determinism of the synthetic table across parallelism,
+  - resume-from-manifest skips committed stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qsvspark.pipeline.northstar import (
+    NorthStarPipeline,
+    aggregate_stage,
+    aggregate_stage_salted,
+    enrich_stage,
+    parse_stage,
+)
+from qsvspark.pipeline.tokens import source_dim, synth_tokens
+
+N = 5_000
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return synth_tokens(spark, N, seed=SEED).cache()
+
+
+class TestSynthTokens:
+    def test_shape_and_schema(self, tokens):
+        assert tokens.count() == N
+        assert tokens.schema.simpleString() == (
+            "struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>"
+        )
+
+    def test_n_tok_matches_array_length(self, tokens):
+        bad = tokens.filter(F.size("tokens") != F.col("n_tok")).count()
+        assert bad == 0
+
+    def test_deterministic_across_partitioning(self, spark):
+        a = synth_tokens(spark, 2000, seed=3, num_partitions=2)
+        b = synth_tokens(spark, 2000, seed=3, num_partitions=13)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_zipf_skew_present(self, tokens):
+        counts = {r["source"]: r["n"] for r in
+                  tokens.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["src00"] > 5 * counts.get("src19", 1)  # heavy hitter
+
+
+class TestParse:
+    def test_pandas_and_native_agree(self, tokens):
+        p = parse_stage(tokens, "pandas").select("doc_id", "parsed_source", "shard", "seq")
+        n = parse_stage(tokens, "native").select("doc_id", "parsed_source", "shard", "seq")
+        assert p.exceptAll(n).count() == 0 and n.exceptAll(p).count() == 0
+
+    def test_parse_recovers_source(self, tokens):
+        p = parse_stage(tokens, "native")
+        assert p.filter(F.col("parsed_source") != F.col("source")).count() == 0
+
+    def test_malformed_doc_id_gives_nulls(self, spark):
+        df = spark.createDataFrame(
+            [("garbage", [1, 2], 2, "src00")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        for mode in ("pandas", "native"):
+            row = parse_stage(df, mode).collect()[0]
+            assert row["parsed_source"] is None and row["shard"] is None
+
+
+class TestEnrichRouteAggregate:
+    def test_enrich_assigns_sink_to_all(self, spark, tokens):
+        dim = source_dim(spark)
+        e = enrich_stage(parse_stage(tokens, "native"), dim)
+        assert e.filter(F.col("sink").isNull()).count() == 0
+
+    def test_enrich_is_broadcast(self, spark, tokens):
+        dim = source_dim(spark)
+        e = enrich_stage(tokens, dim)
+        plan = e._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            e._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_salted_equals_unsalted(self, spark, tokens):
+        dim = source_dim(spark)
+        e = enrich_stage(tokens, dim)
+        a = aggregate_stage(e).orderBy("sink", "source", "n_tok_bucket")
+        b = aggregate_stage_salted(e, salt_buckets=16).orderBy("sink", "source", "n_tok_bucket")
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+class TestPipelineEndToEnd:
+    @pytest.fixture(scope="class")
+    def run(self, spark, tokens, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas")
+        metrics = pipe.run(tokens, input_fingerprint=f"synth-n{N}-s{SEED}")
+        return pipe, metrics
+
+    def test_per_sink_counts_match_direct(self, spark, tokens, run):
+        pipe, metrics = run
+        dim = source_dim(spark)
+        direct = {
+            r["sink"]: r["n"]
+            for r in tokens.join(F.broadcast(dim), "source")
+            .groupBy("sink").agg(F.count("*").alias("n")).collect()
+        }
+        assert metrics["per_sink_counts"] == direct
+        assert sum(direct.values()) == N
+
+    def test_token_array_equality_roundtrip(self, tokens, run):
+        """north_rule per-row invariant: tokens survive routing bit-exactly."""
+        pipe, _ = run
+        routed = pipe.routed().select("doc_id", F.col("tokens").alias("routed_tokens"))
+        joined = tokens.join(routed, "doc_id", "full")
+        mismatches = joined.filter(
+            F.col("tokens").isNull()
+            | F.col("routed_tokens").isNull()
+            | (F.col("tokens") != F.col("routed_tokens"))
+        ).count()
+        assert mismatches == 0
+
+    def test_aggregate_counts_match_reference_semantics(self, spark, tokens, run):
+        """per-sink (source × n_tok bucket) counts == direct groupBy of the
+        input — the reference quilter count/uniq equality."""
+        pipe, _ = run
+        dim = source_dim(spark)
+        direct = (
+            tokens.join(F.broadcast(dim), "source")
+            .withColumn("n_tok_bucket", ((F.col("n_tok") / 64).cast("int") * 64))
+            .groupBy("sink", "source", "n_tok_bucket")
+            .agg(F.count(F.lit(1)).alias("seq_count"),
+                 F.count_distinct("doc_id").alias("uniq_docs"),
+                 F.sum("n_tok").alias("tok_sum"))
+        )
+        got = pipe.aggregates()
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+    def test_resume_skips_committed_stages(self, spark, tokens, run):
+        pipe, first = run
+        again = pipe.run(tokens, input_fingerprint=f"synth-n{N}-s{SEED}")
+        assert set(again["resumed"]) == {"route", "aggregate"}
+        assert again["per_sink_counts"] == first["per_sink_counts"]
+
+    def test_new_fingerprint_recomputes(self, spark, run):
+        pipe, _ = run
+        small = synth_tokens(spark, 500, seed=99)
+        m = pipe.run(small, input_fingerprint="synth-n500-s99")
+        assert m["resumed"] == []
+        assert m["rows"] == 500
