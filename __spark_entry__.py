@@ -241,6 +241,125 @@ def q_stats(spark, sf):
     )
 
 
+# --- training-data extensions (SURVEY.md §2 additions) ---------------
+
+def q_text_tokens(spark, sf):
+    from qsvspark.functions import add_token_counts
+
+    return add_token_counts(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    from qsvspark.functions import add_fingerprint
+
+    return add_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def q_text_quality(spark, sf):
+    from qsvspark.functions import add_quality
+
+    out = add_quality(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("q_n_words").cast("long").alias("q_n_words"),
+        F.col("q_stopword_hits").cast("long").alias("q_stopword_hits"),
+        F.round("q_punct_ratio", 4).alias("punct_r"),
+        F.round("q_score", 4).alias("score_r"),
+    )
+
+
+def q_lang_id(spark, sf):
+    from qsvspark.functions import add_lang_id
+
+    return add_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def q_dedup_exact(spark, sf):
+    from qsvspark.functions import dedup_exact
+
+    return dedup_exact(_t(spark, sf, "documents")).select("doc_id")
+
+
+def q_minhash_pairs(spark, sf):
+    from qsvspark.functions import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").limit(200)
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=5)
+
+
+def q_simhash(spark, sf):
+    from qsvspark.functions import simhash
+
+    return simhash(_t(spark, sf, "documents").limit(200)).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark, sf):
+    from qsvspark.functions import ngram_jaccard
+
+    docs = _t(spark, sf, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).filter("id_a < 50").withColumn(
+        "id_b", F.col("id_a") + 1
+    )
+    return ngram_jaccard(pairs, docs, n=3)
+
+
+def q_embedding_near_dups(spark, sf):
+    from qsvspark.functions import embedding_near_dups
+
+    out = embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.45)
+    # the pair set is the semantic content; the raw cosine differs between
+    # float32 (DuckDB) and double (Spark) in the 4th decimal
+    return out.select("id_a", "id_b")
+
+
+def q_similarity_topk(spark, sf):
+    from qsvspark.functions import brute_force_topk
+
+    qv = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    out = brute_force_topk(_t(spark, sf, "embeddings"), qv, k=10)
+    return out.select("vec_id", F.round("cos", 3).alias("cos_r"))
+
+
+_QV_SQL = "[" + ", ".join(
+    "1.0" if i % 7 == 0 else "0.1" for i in range(64)
+) + "]::FLOAT[]"
+
+
+def q_similarity_ann(spark, sf):
+    from qsvspark.functions import lsh_ann_topk
+
+    qv = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    out = lsh_ann_topk(_t(spark, sf, "embeddings"), qv, k=10, bits=12, probe_hamming=4)
+    return out.select("vec_id", F.round("cos", 3).alias("cos_r"))
+
+
+def q_pipeline_aggregate(spark, sf):
+    """North-star DAG over a deterministic synthetic tokens table —
+    parse → broadcast enrich → aggregate (route's write stage is exercised
+    by tests/bench; a query() must stay read-only)."""
+    from qsvspark.pipeline import synth_tokens, source_dim
+    from qsvspark.pipeline.northstar import aggregate_stage, enrich_stage, parse_stage
+
+    tok = synth_tokens(spark, 20_000, seed=42)
+    return aggregate_stage(enrich_stage(parse_stage(tok, "native"), source_dim(spark)))
+
+
+def q_multimodal_features(spark, sf):
+    from qsvspark.functions.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 500, seed=42))
+
+
+def q_frame_sample(spark, sf):
+    from qsvspark.functions.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 500, seed=42), every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select": q_select,
@@ -269,6 +388,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left": q_join_left,
         "concat": q_concat,
         "stats": q_stats,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "pipeline_aggregate": q_pipeline_aggregate,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -357,6 +490,76 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
         ),
         "concat": "SELECT * FROM region UNION ALL SELECT * FROM region",
+        "text_tokens": (
+            r"SELECT doc_id, "
+            r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens, "
+            r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
+            r" AS n_bpe_tokens FROM documents"
+        ),
+        "text_fingerprint": (
+            r"SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+            r" AS fingerprint FROM documents"
+        ),
+        "text_quality": (
+            r"WITH q AS (SELECT doc_id,"
+            r" len(string_split_regex(trim(text), '\s+')) AS nw,"
+            r" len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) AS pr,"
+            r" len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),"
+            r" ['the','and','of','to','in','is','that','for','with','as'])) AS ns"
+            r" FROM documents)"
+            r" SELECT doc_id, CAST(nw AS BIGINT) AS q_n_words,"
+            r" CAST(ns AS BIGINT) AS q_stopword_hits,"
+            r" round(round(pr, 6), 4) AS punct_r,"
+            r" round(round(least(nw/100.0, 1.0)*0.4 + (1-least(round(pr,6)*5, 1.0))*0.3"
+            r" + least(ns/5.0, 1.0)*0.3, 6), 4) AS score_r FROM q"
+        ),
+        "lang_id": (
+            r"WITH w AS (SELECT doc_id,"
+            r" list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws FROM documents),"
+            r" s AS (SELECT doc_id,"
+            r" len(list_intersect(ws, ['the','and','of','to','in','is','that','for','with','as'])) AS s_en,"
+            r" len(list_intersect(ws, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,"
+            r" len(list_intersect(ws, ['le','la','les','et','est','pas','pour','que','une','dans'])) AS s_fr,"
+            r" len(list_intersect(ws, ['el','la','los','que','de','no','es','por','con','para'])) AS s_es"
+            r" FROM w)"
+            r" SELECT doc_id, CASE"
+            r" WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'"
+            r" WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'"
+            r" WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'"
+            r" WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'"
+            r" ELSE 'unknown' END AS lang_pred FROM s"
+        ),
+        "dedup_exact": (
+            r"SELECT MIN(doc_id) AS doc_id FROM documents"
+            r" GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+        ),
+        "ngram_jaccard": (
+            r"WITH g AS (SELECT doc_id, list_distinct(list_transform("
+            r" range(0, greatest(len(w) - 3, 0) + 1),"
+            r" i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS grams"
+            r" FROM (SELECT doc_id, string_split("
+            r" lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w FROM documents))"
+            r" SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            r" round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0"
+            r" THEN len(list_intersect(a.grams, b.grams))::DOUBLE"
+            r" / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END, 6) AS jaccard"
+            r" FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.45"
+        ),
+        "similarity_topk": (
+            f"SELECT vec_id, round(CAST(round(list_cosine_similarity(embedding, {_QV_SQL}), 6) AS DOUBLE), 3)"
+            f" AS cos_r FROM embeddings"
+            f" ORDER BY round(list_cosine_similarity(embedding, {_QV_SQL}), 6) DESC, vec_id"
+            f" LIMIT 10"
+        ),
+        # minhash_pairs / simhash / similarity_ann / pipeline_aggregate /
+        # multimodal_features / frame_sample: xxhash64-based or
+        # mapInPandas-based — no DuckDB equivalent → rows-only checks;
+        # semantics are covered by pytest property tests instead.
         "stats": (
             "SELECT 'o_orderkey' AS \"column\", 'bigint' AS dtype, "
             "COUNT(o_orderkey) AS \"count\", 0 AS null_count, "

@@ -1,0 +1,26 @@
+"""Training-data pipeline extensions beyond reference parity: text
+analysis, deduplication, similarity search, multimodal plumbing.
+All hot paths are built-in Column expressions (codegen'd); Python appears
+only in Arrow-batched mapInPandas for the multimodal feature extraction."""
+
+from qsvspark.functions.text import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality,
+    add_token_counts,
+)
+from qsvspark.functions.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from qsvspark.functions.similarity import brute_force_topk, lsh_ann_topk
+
+__all__ = [
+    "add_token_counts", "add_quality", "add_lang_id", "add_fingerprint",
+    "dedup_exact", "minhash_lsh_pairs", "simhash", "ngram_jaccard",
+    "embedding_near_dups",
+    "brute_force_topk", "lsh_ann_topk",
+]

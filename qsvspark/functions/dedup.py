@@ -1,0 +1,212 @@
+"""Deduplication over document tables — exact and near-dup families.
+
+Scale notes (the whole point of these):
+  - exact:    one hash-groupBy shuffle on a 32-char key; partial agg
+              collapses duplicates map-side.
+  - minhash:  signatures are computed per row with codegen'd expressions
+              (shingle → xxhash64 per permutation → min); LSH banding
+              turns all-pairs O(n²) into a groupBy on (band, band_hash)
+              buckets — the only shuffle is by bucket key, and candidate
+              verification happens inside small buckets.
+  - simhash:  64-bit signature via per-word hash bit-voting; near-dups =
+              equal simhash prefix buckets (or full equality) — again a
+              bucket groupBy, never a cross join.
+  - embedding near-dup: exact cosine over LSH-candidate pairs; the
+              brute-force variant exists for small dims / verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the minimum id per content
+    hash. Returns the surviving rows (all original columns)."""
+    hashed = df.withColumn("__h", F.md5(_norm_text(text_col)))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, ["__h", id_col], "left_semi").drop("__h")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------
+
+def _shingles(text_col: str, k: int) -> Column:
+    """Character k-shingles as a distinct array (codegen: substr over a
+    sequence — no Python)."""
+    norm = _norm_text(text_col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def minhash_signature(text_col: str, num_hashes: int = 16, k: int = 5) -> Column:
+    """Array of num_hashes minhash values: min over shingles of
+    xxhash64(shingle, seed=j)."""
+    sh = _shingles(text_col, k)
+
+    # NB: the hash-family index must be captured via a closure factory —
+    # a two-parameter lambda would be interpreted by F.transform as
+    # (element, array_index) and silently rebind j.
+    def hash_j(j: int):
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signature is split into `bands` bands of num_hashes/bands rows; docs
+    sharing any band hash become a candidate pair. Returns (id_a, id_b,
+    band) with id_a < id_b. The heavy lifting is one groupBy on the band
+    bucket — self-cross-join only *within* buckets (tiny by construction).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# --- SimHash ----------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash: each word votes ±1 per bit of its xxhash64; the
+    signature bit is 1 where the vote sum is positive. All expression-level
+    (aggregate over the word array), no UDF."""
+    words = F.split(_norm_text(text_col), " ")
+    h = F.transform(words, lambda w: F.xxhash64(w))
+    one = F.lit(1).cast("long")
+
+    def vote_fn(mask):  # closure factory — see minhash_signature note
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        mask = F.shiftleft(one, b)  # b=63 wraps to the sign bit, still a valid mask
+        votes = F.aggregate(h, F.lit(0), vote_fn(mask))
+        bit_cols.append(F.when(votes > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return df.withColumn(out_col, sig)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- n-gram Jaccard ----------------------------------------------------
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    df_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs
+    (id_a, id_b) — the verification stage after LSH. Joining the (small)
+    candidate set back to docs twice is two hash joins keyed on id."""
+    words = F.split(_norm_text(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    docs = df_docs.select(F.col(id_col), grams.alias("__g"))
+    a = docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "__ga")
+    b = docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "__gb")
+    joined = df_pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    return joined.select(
+        "id_a", "id_b",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    )
+
+
+# --- embedding cosine near-dup -----------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Brute-force O(n²) variant —
+    correct at verification scale; at 100 TB use lsh_ann buckets from
+    similarity.py to generate candidates and verify with this cosine."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

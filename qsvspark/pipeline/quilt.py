@@ -1,0 +1,220 @@
+"""Quilt: YAML-driven DAG of named stages over DataFrames.
+
+Reference: /root/reference/src/operations/quilters/quilt.rs:257-659 and
+README.md:595-630. Stage types: ``process`` (a sequence of load/chainable/
+finalizer steps), ``concat`` (vertical union of ≥2 stages), ``join``
+(equi-join of exactly 2 stages). Stages run in YAML order and may
+reference earlier outputs by name (``source:`` / ``sources:``).
+
+Improvements over the reference (SURVEY.md §3.2.6): a stage consumed by
+more than one later stage is ``.cache()``d so its subplan runs once — the
+reference re-executes the shared lazy subplan per consumer. Join supports
+``cross`` properly (the reference documents it but silently falls back to
+inner, quilt.rs:544-552) plus Spark's free ``semi``/``anti``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qsvspark.engine import Q
+from qsvspark.errors import InvalidArgumentError
+from qsvspark.io import load as _load
+from qsvspark.io import sinks
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left",
+    "outer": "full",
+    "full": "full",
+    "cross": "cross",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
+def _colnames(args: Any) -> str | list[str]:
+    """YAML accepts a comma string or a list (quilt.rs:27-38)."""
+    v = args.get("colnames", "*") if isinstance(args, dict) else "*"
+    return v
+
+
+def _apply_step(spark: SparkSession, df: DataFrame | None, name: str,
+                args: Any, base_dir: str, output_override: str | None) -> DataFrame | None:
+    args = args or {}
+    if name == "load":
+        path = args["path"] if isinstance(args, dict) else str(args)
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)  # YAML-relative (quilt.rs:339-402)
+        return _load(
+            spark, path,
+            separator=args.get("separator") if isinstance(args, dict) else None,
+            no_headers=bool(args.get("no_headers")) if isinstance(args, dict) else False,
+        )
+    if df is None:
+        raise InvalidArgumentError(f"step '{name}' has no input (missing load/source)")
+    q = Q(df)
+    if name == "select":
+        return q.select(_colnames(args)).df
+    if name == "isin":
+        return q.isin(args.get("colname", ""), [str(v) for v in args.get("values", [])]).df
+    if name == "contains":
+        return q.contains(args.get("colname", ""), args.get("pattern", ""),
+                          bool(args.get("ignorecase"))).df
+    if name == "sed":
+        return q.sed(args.get("pattern", ""), args.get("replacement", ""),
+                     column=args.get("colname"), ignorecase=bool(args.get("ignorecase"))).df
+    if name == "grep":
+        return q.grep(args.get("pattern", ""), bool(args.get("ignorecase")),
+                      bool(args.get("invert_match"))).df
+    if name in ("head", "tail"):
+        n = args.get("number", 5) if isinstance(args, dict) else int(args or 5)
+        return (q.head(n) if name == "head" else q.tail(n)).df
+    if name == "sort":
+        return q.sort(_colnames(args), desc=bool(args.get("desc"))).df
+    if name == "count":
+        return q.count().df
+    if name == "uniq":
+        return q.uniq().df
+    if name == "renamecol":
+        old = args.get("old_name") or args.get("from")
+        new = args.get("new_name") or args.get("to")
+        return q.renamecol(old, new).df
+    if name == "changetz":
+        return q.changetz(
+            args.get("colname", ""), args.get("from-tz", args.get("from_tz", "")),
+            args.get("to-tz", args.get("to_tz", "")),
+            input_format=args.get("input_format") or args.get("input-format"),
+            output_format=args.get("output_format") or args.get("output-format"),
+            ambiguous=args.get("ambiguous", "earliest"),
+        ).df
+    if name == "timeline":
+        agg = next((a for a in ("sum", "avg", "min", "max", "std") if a in args), None)
+        return q.timeline(args.get("colname", args.get("time_column", "")),
+                          args.get("interval", "1h"), agg=agg,
+                          agg_column=args.get(agg) if agg else None).df
+    if name == "timeslice":
+        return q.timeslice(args.get("colname", ""), args.get("start"), args.get("end")).df
+    if name == "timeround":
+        return q.timeround(args.get("colname", ""), args.get("unit", "d"),
+                           output=args.get("output")).df
+    if name == "pivot":
+        return q.pivot(args.get("rows", []), args.get("cols", []),
+                       args.get("values", ""), args.get("agg", "sum")).df
+    if name == "convert":
+        return q.convert(args.get("colname", ""), args.get("from", "json"),
+                         args.get("to", "json")).df
+    # finalizers — executed for effect; pass the df through (a reference
+    # process stage can end with show/dump and still feed later stages)
+    if name == "show":
+        sinks.show(df)
+        return df
+    if name == "showtable":
+        sinks.showtable(df)
+        return df
+    if name == "headers":
+        sinks.headers(df)
+        return df
+    if name == "stats":
+        sinks.stats(df).show()
+        return df
+    if name == "dump":
+        out = output_override or (args.get("output") if isinstance(args, dict) else None)
+        sinks.dump(df, out or "dump_quilt.csv",
+                   separator=(args.get("separator", ",") if isinstance(args, dict) else ","),
+                   single_file=True)
+        return df
+    if name == "dumpcache":
+        sinks.dumpcache(df, args.get("output", "cache_quilt.parquet"))
+        return df
+    if name == "partition":
+        sinks.partition(df, args.get("colname", ""), args.get("output", "./partitions"))
+        return df
+    raise InvalidArgumentError(f"unknown quilt step '{name}'")
+
+
+class Quilt:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.stage_results: dict[str, DataFrame] = {}
+
+    def run_file(self, path: str, output_override: str | None = None) -> DataFrame | None:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        return self.run(cfg, base_dir=os.path.dirname(os.path.abspath(path)),
+                        output_override=output_override)
+
+    def run(self, cfg: dict, base_dir: str = ".",
+            output_override: str | None = None) -> DataFrame | None:
+        stages = cfg.get("stages") or {}
+        if not isinstance(stages, dict):
+            raise InvalidArgumentError("quilt config needs a 'stages' mapping")
+
+        # count stage consumers so shared stages get cached
+        consumers: dict[str, int] = {}
+        for scfg in stages.values():
+            for src in self._sources_of(scfg):
+                consumers[src] = consumers.get(src, 0) + 1
+
+        last: DataFrame | None = None
+        for name, scfg in stages.items():  # YAML order (py3.7+ dicts)
+            stype = (scfg or {}).get("type", "process")
+            if stype == "process":
+                df = self.stage_results.get((scfg or {}).get("source") or "")
+                for step_name, step_args in (scfg.get("steps") or {}).items():
+                    # duplicate step names are deduped by trailing '_'
+                    # in the reference (quilt.rs:325-330) — YAML mappings
+                    # can't carry true duplicates, so we just strip them
+                    df = _apply_step(self.spark, df, step_name.rstrip("_"),
+                                     step_args, base_dir, output_override)
+            elif stype == "concat":
+                srcs = self._resolve(scfg.get("sources", []))
+                how = ((scfg.get("params") or {}).get("how", "vertical"))
+                if how != "vertical":
+                    raise InvalidArgumentError(
+                        f"concat how='{how}' not supported (reference also errors)")
+                df = srcs[0]
+                for other in srcs[1:]:
+                    df = df.unionByName(other, allowMissingColumns=False)
+            elif stype == "join":
+                srcs = self._resolve(scfg.get("sources", []))
+                if len(srcs) != 2:
+                    raise InvalidArgumentError("join stage needs exactly 2 sources")
+                params = scfg.get("params") or {}
+                how = _JOIN_TYPES.get(params.get("how", "inner"))
+                if how is None:
+                    how = "inner"  # reference warns + falls back (quilt.rs:544-552)
+                key = params.get("key") or params.get("on")
+                left, right = srcs
+                if how == "cross":
+                    df = left.crossJoin(right)
+                else:
+                    df = left.join(right, on=key, how=how)
+            else:
+                raise InvalidArgumentError(f"unknown stage type '{stype}'")
+            if consumers.get(name, 0) > 1:
+                df = df.cache()
+            self.stage_results[name] = df
+            last = df
+        return last
+
+    def _sources_of(self, scfg: dict | None) -> list[str]:
+        scfg = scfg or {}
+        out = []
+        if scfg.get("source"):
+            out.append(scfg["source"])
+        out.extend(scfg.get("sources") or [])
+        return out
+
+    def _resolve(self, names: list[str]) -> list[DataFrame]:
+        out = []
+        for n in names:
+            if n not in self.stage_results:
+                raise InvalidArgumentError(f"unknown stage reference '{n}'")
+            out.append(self.stage_results[n])
+        return out

@@ -1,0 +1,178 @@
+"""Quilt YAML DAG tests (reference: tests/test_quilters_quilt.py:24-205)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from qsvspark.errors import InvalidArgumentError
+from qsvspark.pipeline.quilt import Quilt
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path, simple_csv):
+    # place simple.csv next to the YAML (quilt paths are YAML-relative)
+    import shutil
+
+    shutil.copy(simple_csv, tmp_path / "simple.csv")
+    return tmp_path
+
+
+def write_yaml(d, text):
+    p = d / "q.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+class TestQuilt:
+    def test_simple_process_chain(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Simple
+stages:
+  load_data:
+    type: process
+    steps:
+      load:
+        path: "simple.csv"
+  select_columns:
+    type: process
+    source: load_data
+    steps:
+      select:
+        colnames:
+          - col1
+          - str
+  filter_data:
+    type: process
+    source: select_columns
+    steps:
+      isin:
+        colname: str
+        values:
+          - foo
+          - bar
+""")
+        out = Quilt(spark).run_file(p)
+        assert out.columns == ["col1", "str"]
+        assert sorted(tuple(r) for r in out.collect()) == [(1, "foo"), (4, "bar")]
+
+    def test_join_stage_with_shared_source(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Join
+stages:
+  load_stage:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  stage_1:
+    type: process
+    source: load_stage
+    steps:
+      select: {colnames: "datetime,col1"}
+  stage_2:
+    type: process
+    source: load_stage
+    steps:
+      select: {colnames: "datetime,str"}
+  merge_stage:
+    type: join
+    sources: [stage_1, stage_2]
+    params: {how: inner, key: datetime}
+""")
+        q = Quilt(spark)
+        out = q.run_file(p)
+        assert sorted(out.columns) == ["col1", "datetime", "str"]
+        assert out.count() == 3
+        # load_stage had 2 consumers → cached
+        assert q.stage_results["load_stage"].is_cached
+
+    def test_concat_stage(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Concat
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  b:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  both:
+    type: concat
+    sources: [a, b]
+""")
+        assert Quilt(spark).run_file(p).count() == 6
+
+    def test_cross_join(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Cross
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  b:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  x:
+    type: join
+    sources: [a, b]
+    params: {how: cross}
+""")
+        assert Quilt(spark).run_file(p).count() == 9
+
+    def test_unknown_stage_reference_errors(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Bad
+stages:
+  x:
+    type: concat
+    sources: [nope, nada]
+""")
+        with pytest.raises(InvalidArgumentError, match="unknown stage reference"):
+            Quilt(spark).run_file(p)
+
+    def test_unknown_step_errors(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Bad2
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+      frobnicate: {}
+""")
+        with pytest.raises(InvalidArgumentError, match="unknown quilt step"):
+            Quilt(spark).run_file(p)
+
+    def test_dump_with_output_override(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Dump
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+      dump: {output: "ignored.csv"}
+""")
+        override = str(fixture_dir / "override.csv")
+        Quilt(spark).run_file(p, output_override=override)
+        assert os.path.exists(override)
+
+    def test_multi_step_process(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Multi
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+      sed: {colname: str, pattern: "foo", replacement: "FOO"}
+      sort: {colnames: "str", desc: true}
+      head: {number: 2}
+""")
+        out = Quilt(spark).run_file(p)
+        assert [r["str"] for r in out.collect()] == ["baz", "bar"]
