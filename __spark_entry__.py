@@ -187,7 +187,9 @@ def q_timeround(spark, sf):
 
 
 def q_changetz(spark, sf):
-    ev = _t(spark, sf, "events").limit(500).select(
+    # deterministic subset (not limit) so the DuckDB oracle sees the same
+    # rows; Tokyo has no DST, so the oracle is a pure +9h shift
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500).select(
         "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
     )
     return Q(ev).changetz(
@@ -200,6 +202,60 @@ def q_convert(spark, sf):
     # props is a JSON text cell; prettify (json→json) then extract length
     ev = _t(spark, sf, "events").select("event_id", "props")
     return Q(ev).convert("props", "json", "json").df
+
+
+def q_convert_xml(spark, sf):
+    # json→xml: flat sorted <k>v</k> rendering — exactly reproducible in
+    # SQL for the flat props payload, so this pandas-UDF op IS oracle-checked
+    ev = _t(spark, sf, "events").select("event_id", "props")
+    return Q(ev).convert("props", "json", "xml").df
+
+
+def q_timeline_avg(spark, sf):
+    out = Q(_t(spark, sf, "events")).timeline("ts", "6h", agg="avg", agg_column="value").df
+    return out.select("timeline_6h", "count", F.round("avg_value", 4).alias("avg_r"))
+
+
+def q_pivot_median(spark, sf):
+    out = Q(_t(spark, sf, "lineitem")).pivot(
+        rows="l_returnflag", cols="l_linestatus", values="l_quantity", agg="median"
+    ).df
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("l_quantity_median", 4).alias("qty_med")
+    )
+
+
+def q_pivot_std(spark, sf):
+    out = Q(_t(spark, sf, "lineitem")).pivot(
+        rows="l_returnflag", cols="l_linestatus", values="l_quantity", agg="std"
+    ).df
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("l_quantity_std", 4).alias("qty_std")
+    )
+
+
+def q_sed_all(spark, sf):
+    # all-columns sed: every column (incl. ints) cast to string, replace-all
+    return Q(_t(spark, sf, "nation")).sed("[AEIOU]", "@").df
+
+
+def q_grep_ci(spark, sf):
+    return Q(_t(spark, sf, "region")).grep("africa|ASIA", ignorecase=True).df
+
+
+def q_select_mixed(spark, sf):
+    # mixed colspec: 1-based index + index range
+    return Q(_t(spark, sf, "nation")).select("3,1:2").df
+
+
+def q_isin_empty(spark, sf):
+    # reference semantics: empty value list → empty result (isin.rs:22-25)
+    return (
+        Q(_t(spark, sf, "events"))
+        .isin("event_type", [])
+        .select("event_id,event_type")
+        .df
+    )
 
 
 def q_join(spark, sf):
@@ -285,16 +341,19 @@ def q_dedup_exact(spark, sf):
 
 
 def q_minhash_pairs(spark, sf):
+    # md5_60 hash family: the DuckDB oracle reproduces the ENTIRE
+    # shingle → minhash → band → bucket-join pipeline value-for-value
     from qsvspark.functions import minhash_lsh_pairs
 
-    docs = _t(spark, sf, "documents").limit(200)
-    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=5)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=5, hash_fn="md5_60")
 
 
 def q_simhash(spark, sf):
     from qsvspark.functions import simhash
 
-    return simhash(_t(spark, sf, "documents").limit(200)).select("doc_id", "simhash")
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, bits=60, hash_fn="md5_60").select("doc_id", "simhash")
 
 
 def q_ngram_jaccard(spark, sf):
@@ -328,6 +387,68 @@ _QV_SQL = "[" + ", ".join(
     "1.0" if i % 7 == 0 else "0.1" for i in range(64)
 ) + "]::FLOAT[]"
 
+# 60-bit cross-engine hash (== qsvspark.functions.dedup.hash60)
+def _h60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replica of minhash_lsh_pairs(num_hashes=16, bands=4, k=5,
+    hash_fn='md5_60'): shingle → 16 minhashes → 4 band buckets →
+    bucket self-join → distinct candidate pairs."""
+    hashes = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _h60(f"s || '|{j}'")
+        + f")) AS h{j}"
+        for j in range(16)
+    )
+    band_cols = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+        + f") AS b{b}"
+        for b in range(4)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sig" for b in range(4)
+    )
+    return (
+        f"WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 200),"
+        " s AS (SELECT doc_id, list_distinct(list_transform("
+        "   range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS sh FROM n),"
+        f" hs AS (SELECT doc_id, {hashes} FROM s),"
+        f" sig AS (SELECT doc_id, {band_cols} FROM hs),"
+        f" b AS ({banded})"
+        " SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b"
+        " FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket"
+        " AND l.doc_id < r.doc_id"
+    )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replica of simhash(bits=60, hash_fn='md5_60')."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return (
+        f"WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 200),"
+        f" w AS (SELECT doc_id, list_transform(string_split(t, ' '),"
+        f"  w -> {_h60('w')}) AS hs FROM n)"
+        f" SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM w"
+    )
+
+
+_TOK_SQL = (
+    "SELECT printf('%s/part-%04d/doc-%012d', source, doc_id % 64, doc_id) AS doc_id,"
+    " CAST(16 + (n_chars % 497) AS INT) AS n_tok, source, doc_id AS rid"
+    " FROM documents"
+)
+
 
 def q_similarity_ann(spark, sf):
     from qsvspark.functions import lsh_ann_topk
@@ -337,15 +458,33 @@ def q_similarity_ann(spark, sf):
     return out.select("vec_id", F.round("cos", 3).alias("cos_r"))
 
 
-def q_pipeline_aggregate(spark, sf):
-    """North-star DAG over a deterministic synthetic tokens table —
-    parse → broadcast enrich → aggregate (route's write stage is exercised
-    by tests/bench; a query() must stay read-only)."""
-    from qsvspark.pipeline import synth_tokens, source_dim
-    from qsvspark.pipeline.northstar import aggregate_stage, enrich_stage, parse_stage
+def q_pipeline_parse(spark, sf):
+    """North-star parse stage (Arrow-vectorized grok UDF) over a
+    documents-derived tokens table; tokens serialized to a string so the
+    oracle value-hash proves per-row token-array equality."""
+    from qsvspark.pipeline.northstar import parse_stage
+    from qsvspark.pipeline.tokens import tokens_from_documents
 
-    tok = synth_tokens(spark, 20_000, seed=42)
-    return aggregate_stage(enrich_stage(parse_stage(tok, "native"), source_dim(spark)))
+    tok = tokens_from_documents(_t(spark, sf, "documents"))
+    out = parse_stage(tok, "arrow")
+    return out.select(
+        "doc_id", "parsed_source", "shard", "seq", "n_tok",
+        F.concat_ws(",", F.col("tokens")).alias("tokens_str"),
+    )
+
+
+def q_pipeline_aggregate(spark, sf):
+    """North-star DAG: parse (Arrow grok UDF) → broadcast enrich →
+    aggregate, over the documents-derived tokens table (route's write
+    stage is exercised by tests/bench; a query() must stay read-only).
+    Fully oracle-checked: per-sink seq counts, uniq doc counts, token
+    sums — the north rule's per-sink aggregate equality."""
+    from qsvspark.pipeline.northstar import aggregate_stage, enrich_stage, parse_stage
+    from qsvspark.pipeline.tokens import doc_source_dim, tokens_from_documents
+
+    docs = _t(spark, sf, "documents")
+    tok = tokens_from_documents(docs)
+    return aggregate_stage(enrich_stage(parse_stage(tok, "arrow"), doc_source_dim(docs)))
 
 
 def q_multimodal_features(spark, sf):
@@ -384,6 +523,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeround": q_timeround,
         "changetz": q_changetz,
         "convert": q_convert,
+        "convert_xml": q_convert_xml,
+        "timeline_avg": q_timeline_avg,
+        "pivot_median": q_pivot_median,
+        "pivot_std": q_pivot_std,
+        "sed_all": q_sed_all,
+        "grep_ci": q_grep_ci,
+        "select_mixed": q_select_mixed,
+        "isin_empty": q_isin_empty,
         "join": q_join,
         "join_left": q_join_left,
         "concat": q_concat,
@@ -399,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "pipeline_parse": q_pipeline_parse,
         "pipeline_aggregate": q_pipeline_aggregate,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -479,8 +627,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') "
             "AS hour_bucket FROM events"
         ),
-        # changetz / convert: pandas-UDF ops with no DuckDB equivalent
-        # (tz-policy / YAML-XML rendering) → rows-only checks
+        # changetz: fixed-format path; Tokyo has no DST → exact +9h oracle.
+        # (the "auto"-parse + ambiguous-DST policy paths have no SQL
+        # equivalent and are covered by pytest golden tests instead)
+        "changetz": (
+            "SELECT event_id, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S')"
+            " AS ts_str FROM events WHERE event_id < 500"
+        ),
+        # convert json→json prettify has no SQL equivalent (Python
+        # indent-2 rendering) → rows-only; json→xml IS reproducible:
+        "convert_xml": (
+            "SELECT event_id, '<k>' || (props::JSON->>'k') || '</k>' AS props"
+            " FROM events"
+        ),
+        "timeline_avg": (
+            "SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')"
+            ' AS timeline_6h, COUNT(*) AS "count",'
+            " round(avg(value), 4) AS avg_r FROM events GROUP BY 1"
+        ),
+        "pivot_median": (
+            "SELECT l_returnflag, l_linestatus, round(median(l_quantity), 4) AS qty_med"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "pivot_std": (
+            "SELECT l_returnflag, l_linestatus, round(stddev_samp(l_quantity), 4)"
+            " AS qty_std FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "sed_all": (
+            "SELECT "
+            "regexp_replace(CAST(n_nationkey AS VARCHAR), '[AEIOU]', '@', 'g') AS n_nationkey, "
+            "regexp_replace(n_name, '[AEIOU]', '@', 'g') AS n_name, "
+            "regexp_replace(CAST(n_regionkey AS VARCHAR), '[AEIOU]', '@', 'g') AS n_regionkey "
+            "FROM nation"
+        ),
+        "grep_ci": (
+            "SELECT * FROM region WHERE "
+            "coalesce(regexp_matches(CAST(r_regionkey AS VARCHAR), 'africa|ASIA', 'i'), false) OR "
+            "coalesce(regexp_matches(r_name, 'africa|ASIA', 'i'), false)"
+        ),
+        "select_mixed": "SELECT n_regionkey, n_nationkey, n_name FROM nation",
+        "isin_empty": "SELECT event_id, event_type FROM events WHERE false",
+        "minhash_pairs": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "pipeline_parse": (
+            f"WITH tok AS ({_TOK_SQL})"
+            r" SELECT doc_id,"
+            r" regexp_extract(doc_id, '^(src\d+)/part-(\d+)/doc-(\d+)$', 1) AS parsed_source,"
+            r" CAST(regexp_extract(doc_id, '^(src\d+)/part-(\d+)/doc-(\d+)$', 2) AS INT) AS shard,"
+            r" CAST(regexp_extract(doc_id, '^(src\d+)/part-(\d+)/doc-(\d+)$', 3) AS BIGINT) AS seq,"
+            r" n_tok,"
+            r" array_to_string(list_transform(range(0, n_tok),"
+            r" i -> CAST((rid * 31 + i * 2654435761) % 50257 AS INT)), ',') AS tokens_str"
+            r" FROM tok"
+        ),
+        "pipeline_aggregate": (
+            f"WITH tok AS ({_TOK_SQL}),"
+            r" dim AS (SELECT DISTINCT source, 'sink_' ||"
+            r" (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4) AS sink FROM documents),"
+            r" routed AS (SELECT t.*, d.sink FROM tok t LEFT JOIN dim d USING (source))"
+            r" SELECT sink, source, CAST((n_tok // 64) * 64 AS INT) AS n_tok_bucket,"
+            r" COUNT(*) AS seq_count, COUNT(DISTINCT doc_id) AS uniq_docs,"
+            r" CAST(SUM(n_tok) AS BIGINT) AS tok_sum"
+            r" FROM routed GROUP BY 1, 2, 3"
+        ),
         "join": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
@@ -556,10 +765,11 @@ def oracle_sql() -> dict[str, str]:
             f" ORDER BY round(list_cosine_similarity(embedding, {_QV_SQL}), 6) DESC, vec_id"
             f" LIMIT 10"
         ),
-        # minhash_pairs / simhash / similarity_ann / pipeline_aggregate /
-        # multimodal_features / frame_sample: xxhash64-based or
-        # mapInPandas-based — no DuckDB equivalent → rows-only checks;
-        # semantics are covered by pytest property tests instead.
+        # similarity_ann: genuinely approximate (LSH probing) — a value
+        # oracle would force exactness; recall vs brute force is asserted
+        # in pytest. multimodal_features / frame_sample: operate on
+        # Python-synthesized binary blobs via mapInPandas — no SQL
+        # equivalent → rows-only checks.
         "stats": (
             "SELECT 'o_orderkey' AS \"column\", 'bigint' AS dtype, "
             "COUNT(o_orderkey) AS \"count\", 0 AS null_count, "

@@ -25,6 +25,18 @@ def _norm_text(text_col: str) -> Column:
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+def hash60(c: Column, salt: str = "") -> Column:
+    """Cross-engine-checkable 60-bit hash: first 15 hex chars of md5,
+    parsed as an integer. DuckDB computes the identical value with
+    ``CAST(concat('0x', substr(md5(s || salt), 1, 15)) AS BIGINT)`` —
+    which is what lets the driver oracle verify the full MinHash/SimHash
+    pipelines value-for-value. Slower than xxhash64 (md5 is cryptographic);
+    production paths default to xxhash64 and use this only when an
+    external system must reproduce the hashes."""
+    s = F.concat(c, F.lit(salt)) if salt else c
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: keep the minimum id per content
     hash. Returns the surviving rows (all original columns)."""
@@ -46,15 +58,20 @@ def _shingles(text_col: str, k: int) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
-def minhash_signature(text_col: str, num_hashes: int = 16, k: int = 5) -> Column:
+def minhash_signature(
+    text_col: str, num_hashes: int = 16, k: int = 5, hash_fn: str = "xxhash64"
+) -> Column:
     """Array of num_hashes minhash values: min over shingles of
-    xxhash64(shingle, seed=j)."""
+    hash(shingle, seed=j). hash_fn='xxhash64' (fast, default) or 'md5_60'
+    (cross-engine reproducible, see hash60)."""
     sh = _shingles(text_col, k)
 
     # NB: the hash-family index must be captured via a closure factory —
     # a two-parameter lambda would be interpreted by F.transform as
     # (element, array_index) and silently rebind j.
     def hash_j(j: int):
+        if hash_fn == "md5_60":
+            return lambda s: hash60(s, f"|{j}")
         return lambda s: F.xxhash64(s, F.lit(j))
 
     return F.array(
@@ -69,6 +86,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -79,19 +97,22 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("__sig")
+        F.col(id_col), minhash_signature(text_col, num_hashes, k, hash_fn).alias("__sig")
     )
+
+    def band_bucket(b: int) -> Column:
+        vals = [F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5_60":
+            # concat-string bucket: reproducible in any engine
+            return F.concat_ws("-", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -118,12 +139,16 @@ def minhash_lsh_pairs(
 # --- SimHash ----------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash: each word votes ±1 per bit of its xxhash64; the
-    signature bit is 1 where the vote sum is positive. All expression-level
-    (aggregate over the word array), no UDF."""
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash: each word votes ±1 per bit of its hash; the signature bit
+    is 1 where the vote sum is positive. All expression-level (aggregate
+    over the word array), no UDF. hash_fn='md5_60' limits useful bits to
+    60 but is reproducible in any engine (see hash60)."""
     words = F.split(_norm_text(text_col), " ")
-    h = F.transform(words, lambda w: F.xxhash64(w))
+    if hash_fn == "md5_60":
+        h = F.transform(words, lambda w: hash60(w))
+    else:
+        h = F.transform(words, lambda w: F.xxhash64(w))
     one = F.lit(1).cast("long")
 
     def vote_fn(mask):  # closure factory — see minhash_signature note

@@ -101,7 +101,17 @@ class SnapshotCatalog:
         snap = f"snap-{len(snaps) + 1:05d}"
         snap_dir = os.path.join(self._table_dir(table), snap)
         data_dir = os.path.join(snap_dir, "data")
-        writer = df.write.mode("overwrite")
+        writer = (
+            df.write.mode("overwrite")
+            # token-id / unique-id heavy tables: dictionary encoding only
+            # balloons then falls back (ids are near-random), and parquet
+            # v2 delta-packed encodings beat v1 plain by ~30% on encode
+            # time; 32MB row groups bound per-writer buffer memory when a
+            # task holds one open writer per routed sink.
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.writer.version", "v2")
+            .option("parquet.block.size", str(32 * 1024 * 1024))
+        )
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(data_dir, compression="snappy")

@@ -75,6 +75,51 @@ def synth_tokens(
     )
 
 
+def tokens_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic tokens table derived from the documents parquet using
+    ONLY cross-engine expressions (every formula here has an exact DuckDB
+    equivalent) — the oracle-checkable stand-in for synth_tokens with the
+    same shape (doc_id, tokens, n_tok, source). Token values are a pure
+    function of (numeric doc id, position), so per-row token-array
+    equality is externally verifiable."""
+    # rename the numeric id first: the output column is ALSO named doc_id
+    # (a string), and lambda expressions inside transform() resolve late —
+    # they must not capture the shadowing output alias
+    base = docs.select(F.col("doc_id").alias("rid"), "n_chars", "source")
+    rid = F.col("rid")
+    n_tok = (F.lit(16) + F.pmod(F.col("n_chars"), F.lit(497))).cast("int")
+    shard = F.pmod(rid, F.lit(64)).cast("int")
+    did = F.format_string("%s/part-%04d/doc-%012d", F.col("source"), shard, rid)
+    tokens = F.transform(
+        F.sequence(F.lit(0), n_tok - F.lit(1)),
+        lambda i: F.pmod(rid * F.lit(31) + i * F.lit(2654435761), F.lit(VOCAB)).cast("int"),
+    )
+    return base.select(
+        did.alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        F.col("source"),
+    )
+
+
+def doc_source_dim(docs: DataFrame, num_sinks: int = 4) -> DataFrame:
+    """Enrichment dimension for document-derived sources ('src0', 'src1',
+    ...): source → sink / category / quality_weight, computed with
+    cross-engine expressions so a SQL oracle reproduces it exactly."""
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    cats = F.array(F.lit("web"), F.lit("code"), F.lit("books"), F.lit("forums"))
+    return (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.concat(F.lit("sink_"), F.pmod(src_num, F.lit(num_sinks)).cast("string")).alias("sink"),
+            F.element_at(cats, F.pmod(src_num, F.lit(4)) + 1).alias("category"),
+            F.round(F.lit(1.0) - F.lit(0.03) * src_num, 4).alias("quality_weight"),
+        )
+    )
+
+
 def source_dim(spark: SparkSession, num_sources: int = 20, num_sinks: int = 4) -> DataFrame:
     """The small lookup dimension the enrich stage broadcast-joins:
     source → sink assignment, category, quality weight. Deterministic."""

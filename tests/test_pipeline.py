@@ -51,10 +51,12 @@ class TestSynthTokens:
 
 
 class TestParse:
-    def test_pandas_and_native_agree(self, tokens):
-        p = parse_stage(tokens, "pandas").select("doc_id", "parsed_source", "shard", "seq")
-        n = parse_stage(tokens, "native").select("doc_id", "parsed_source", "shard", "seq")
-        assert p.exceptAll(n).count() == 0 and n.exceptAll(p).count() == 0
+    def test_all_modes_agree(self, tokens):
+        cols = ["doc_id", "parsed_source", "shard", "seq"]
+        n = parse_stage(tokens, "native").select(*cols)
+        for mode in ("pandas", "arrow"):
+            p = parse_stage(tokens, mode).select(*cols)
+            assert p.exceptAll(n).count() == 0 and n.exceptAll(p).count() == 0
 
     def test_parse_recovers_source(self, tokens):
         p = parse_stage(tokens, "native")
@@ -65,7 +67,7 @@ class TestParse:
             [("garbage", [1, 2], 2, "src00")],
             "doc_id string, tokens array<int>, n_tok int, source string",
         )
-        for mode in ("pandas", "native"):
+        for mode in ("pandas", "native", "arrow"):
             row = parse_stage(df, mode).collect()[0]
             assert row["parsed_source"] is None and row["shard"] is None
 
