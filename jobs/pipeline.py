@@ -1,0 +1,71 @@
+"""Cluster entry point for the north-star pipeline.
+
+Ship and run:
+
+    python tools/package.py                       # builds dist/qsvspark.zip
+    spark-submit --py-files dist/qsvspark.zip \
+        jobs/pipeline.py \
+        --input  s3://bucket/tokens_table \
+        --warehouse s3://bucket/warehouse \
+        --fingerprint tokens-2026-08-17 \
+        [--parse-mode arrow] [--salted] [--bucket-width 64]
+
+On a real cluster add Iceberg via
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+and point --warehouse at the Iceberg warehouse; locally the snapshot
+catalog emulates snapshots + manifests on plain parquet (io/snapshot.py).
+
+The job is resumable: rerunning with the same --fingerprint skips stages
+whose committed snapshots already exist (kill-and-restart safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# under spark-submit --py-files the qsvspark zip is on sys.path already;
+# for plain-python runs fall back to the repo checkout next to jobs/
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "qsvspark")):
+    sys.path.insert(0, _repo)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="tokens table path (parquet/Iceberg)")
+    ap.add_argument("--warehouse", required=True, help="snapshot warehouse root")
+    ap.add_argument("--fingerprint", required=True,
+                    help="input fingerprint for resume (same input+config → resume)")
+    ap.add_argument("--parse-mode", default="arrow",
+                    choices=["arrow", "pandas", "native"])
+    ap.add_argument("--bucket-width", type=int, default=64)
+    ap.add_argument("--salted", action="store_true",
+                    help="two-level salted aggregation for heavy-hitter keys")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    # On a cluster, spark-submit provides the session config (master,
+    # executors); get_spark only fills in engine-level defaults.
+    from qsvspark.session import get_spark
+    from qsvspark.pipeline import NorthStarPipeline
+
+    spark = get_spark("qsvspark-pipeline",
+                      shuffle_partitions=args.shuffle_partitions)
+    tokens = spark.read.parquet(args.input)
+    pipe = NorthStarPipeline(
+        spark, args.warehouse,
+        parse_mode=args.parse_mode,
+        bucket_width=args.bucket_width,
+        salted=args.salted,
+    )
+    metrics = pipe.run(tokens, input_fingerprint=args.fingerprint)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

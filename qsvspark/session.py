@@ -27,11 +27,15 @@ def get_spark(
     to keep post-shuffle partitions ~128-512MB, and AQE coalesces further).
     """
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    master = f"local[{cpus}]"
     sp = shuffle_partitions or (cpus if isinstance(cpus, int) else 32)
+    builder = SparkSession.builder
+    # Under spark-submit the gateway JVM already carries the submitted
+    # master/executor config — forcing local[] would fight it. The env
+    # marker is how pyspark's launcher hands the JVM to Python.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
