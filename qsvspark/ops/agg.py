@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from qsvspark.ops.helpers import (
     parse_interval_ms,
-    parse_ts_any,
+    ts_column,
     require_columns,
     resolve_colspec,
 )
@@ -116,7 +116,7 @@ def timeline(
     ms = parse_interval_ms(interval)
     bucket_name = f"timeline_{interval}"
     fmt = "yyyy-MM-dd HH:mm:ss.SSS" if ms % 1000 else "yyyy-MM-dd HH:mm:ss"
-    bucket = F.date_format(_bucket_expr(parse_ts_any(F.col(time_column)), ms), fmt)
+    bucket = F.date_format(_bucket_expr(ts_column(df, time_column), ms), fmt)
     aggs = [F.count(F.lit(1)).alias("count")]
     if agg is not None:
         if agg not in _TIMELINE_AGGS:

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from qsvspark.ops.helpers import as_string, parse_ts_any, require_columns
+from qsvspark.ops.helpers import as_string, require_columns, ts_column
 
 _CANONICAL_INT = re.compile(r"^-?(0|[1-9]\d*)$")
 
@@ -82,7 +82,7 @@ def timeslice(
     materializes (Catalyst keeps it an expression).
     """
     require_columns(df, [column])
-    ts = parse_ts_any(F.col(column))
+    ts = ts_column(df, column)
     pred = F.lit(True)
     if start is not None:
         pred = pred & (ts >= F.to_timestamp(F.lit(start)))

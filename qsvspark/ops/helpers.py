@@ -121,6 +121,21 @@ _TS_FORMATS = [
 ]
 
 
+def ts_column(df, column: str) -> Column:
+    """The column as a timestamp expression. Already-typed timestamp/date
+    columns pass through UNWRAPPED — a bare column comparison pushes down
+    to the parquet scan (row-group min/max pruning skips whole time ranges
+    at scale), while any wrapping expression would force a full scan. The
+    multi-format parse ladder applies only to string columns (the
+    reference's CSV-everything-is-text data model)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[column].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.col(column)
+    return parse_ts_any(F.col(column))
+
+
 def parse_ts_any(col: Column) -> Column:
     """Best-effort multi-format string→timestamp (NULL when unparseable)."""
     s = col.cast("string")

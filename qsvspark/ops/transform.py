@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qsvspark.errors import InvalidArgumentError
-from qsvspark.ops.helpers import as_string, parse_ts_any, require_columns
+from qsvspark.ops.helpers import as_string, require_columns, ts_column
 
 
 def sed(
@@ -60,5 +60,5 @@ def timeround(df: DataFrame, column: str, unit: str, output: str | None = None) 
             f"invalid timeround unit '{unit}' (expected one of {list(_TIMEROUND_UNITS)})"
         )
     trunc_unit, fmt = _TIMEROUND_UNITS[unit]
-    expr = F.date_format(F.date_trunc(trunc_unit, parse_ts_any(F.col(column))), fmt)
+    expr = F.date_format(F.date_trunc(trunc_unit, ts_column(df, column)), fmt)
     return df.withColumn(output or column, expr)
