@@ -1,0 +1,61 @@
+"""Structured Streaming ingest for the north-star pipeline.
+
+The reference engine has no streaming surface (SURVEY.md §2.7) — this is
+the Spark-first extension for continuous token-table ingestion: the SAME
+parse/enrich stage functions used by the batch pipeline run unchanged
+over a file-source stream, because both are plain DataFrame→DataFrame
+transformations. Micro-batches land in the routed sink layout
+(partitioned by sink) with exactly-once file-source semantics from the
+stream checkpoint; `trigger(availableNow=True)` drains a backlog and
+stops, which is also how the tests drive it deterministically.
+
+At cluster scale the file source becomes Kafka/Iceberg-CDC and the sink
+an Iceberg table — the stage functions don't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from qsvspark.pipeline.northstar import enrich_stage, parse_stage
+
+# tokens table schema (BASELINE.json input_hint)
+TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def routed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    parse_mode: str = "arrow",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parse→enrich over a parquet-file source of token
+    sequences. Returns the streaming DataFrame ready for a sink."""
+    reader = (
+        spark.readStream.schema(TOKENS_DDL)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    tokens = reader.load(input_dir)
+    return enrich_stage(parse_stage(tokens, parse_mode), dim)
+
+
+def run_available_now(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Drain everything currently available into the routed sink layout
+    and stop. Restarting with the same checkpoint skips files already
+    committed — the streaming analog of the snapshot-resume contract."""
+    return (
+        routed.writeStream.format("parquet")
+        .partitionBy("sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
