@@ -487,6 +487,22 @@ def q_pipeline_aggregate(spark, sf):
     return aggregate_stage(enrich_stage(parse_stage(tok, "arrow"), doc_source_dim(docs)))
 
 
+def q_pipeline_aggregate_salted(spark, sf):
+    """Same aggregate through the two-level SALTED path (heavy-hitter
+    spreading) — shares pipeline_aggregate's oracle, so the driver gate
+    itself proves salting is exactly count/distinct/sum-preserving."""
+    from qsvspark.pipeline.northstar import (
+        aggregate_stage_salted, enrich_stage, parse_stage,
+    )
+    from qsvspark.pipeline.tokens import doc_source_dim, tokens_from_documents
+
+    docs = _t(spark, sf, "documents")
+    tok = tokens_from_documents(docs)
+    return aggregate_stage_salted(
+        enrich_stage(parse_stage(tok, "arrow"), doc_source_dim(docs)), salt_buckets=8
+    )
+
+
 def q_multimodal_features(spark, sf):
     from qsvspark.functions.multimodal import extract_features, synth_media
 
@@ -548,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "pipeline_parse": q_pipeline_parse,
         "pipeline_aggregate": q_pipeline_aggregate,
+        "pipeline_aggregate_salted": q_pipeline_aggregate_salted,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
     }
@@ -681,6 +698,16 @@ def oracle_sql() -> dict[str, str]:
             r" FROM tok"
         ),
         "pipeline_aggregate": (
+            f"WITH tok AS ({_TOK_SQL}),"
+            r" dim AS (SELECT DISTINCT source, 'sink_' ||"
+            r" (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4) AS sink FROM documents),"
+            r" routed AS (SELECT t.*, d.sink FROM tok t LEFT JOIN dim d USING (source))"
+            r" SELECT sink, source, CAST((n_tok // 64) * 64 AS INT) AS n_tok_bucket,"
+            r" COUNT(*) AS seq_count, COUNT(DISTINCT doc_id) AS uniq_docs,"
+            r" CAST(SUM(n_tok) AS BIGINT) AS tok_sum"
+            r" FROM routed GROUP BY 1, 2, 3"
+        ),
+        "pipeline_aggregate_salted": (
             f"WITH tok AS ({_TOK_SQL}),"
             r" dim AS (SELECT DISTINCT source, 'sink_' ||"
             r" (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4) AS sink FROM documents),"
