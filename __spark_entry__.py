@@ -450,6 +450,109 @@ _TOK_SQL = (
 )
 
 
+# --- multimodal oracles: synth_media derives every value from media_id
+# via the md5-60 family, so DuckDB rebuilds payload bytes + metadata
+# exactly (qsvspark/functions/multimodal.py:media_hash) -----------------
+
+def _mm_h(tag: str, extra: str | None = None) -> str:
+    parts = ["'mm'", "'42'", "CAST(i AS VARCHAR)", f"'{tag}'"]
+    if extra:
+        parts.append(extra)
+    return _h60(f"concat_ws('|', {', '.join(parts)})")
+
+
+_MEDIA_SQL = (
+    "SELECT CAST(i AS BIGINT) AS media_id,"
+    f" (['image','audio','video'])[CAST({_mm_h('kind')} % 3 AS INT) + 1] AS kind,"
+    f" list_transform(range(0, 64), j ->"
+    f" CAST({_mm_h('b', 'CAST(j AS VARCHAR)')} % 256 AS INT)) AS b,"
+    f" CAST({_mm_h('w')} % 1920 + 1 AS INT) AS w,"
+    f" CAST({_mm_h('h')} % 1080 + 1 AS INT) AS h,"
+    f" CAST({_mm_h('nf')} % 300 + 1 AS INT) AS nf"
+    " FROM range(0, 500) t(i)"
+)
+
+
+def _multimodal_oracle() -> str:
+    """DuckDB replica of extract_features(synth_media(500, 42)): the
+    byte-level features recomputed from the generator formula (numpy
+    histogram bin = byte // 16; mean = sum/64, exact in float64)."""
+    return (
+        f"WITH m AS ({_MEDIA_SQL})"
+        " SELECT media_id, kind, CAST(64 AS INT) AS n_bytes,"
+        " round(list_sum(b) / 64.0, 4) AS byte_mean_r,"
+        " array_to_string(list_transform(range(0, 16),"
+        " k -> CAST(len(list_filter(b, x -> x // 16 = k)) AS VARCHAR)), ',')"
+        " AS byte_hist_str,"
+        " round(CAST(w AS DOUBLE) / h, 4) AS aspect_r"
+        " FROM m"
+    )
+
+
+def _frame_sample_oracle() -> str:
+    """DuckDB replica of sample_frames(synth_media(500, 42), every_n=10)."""
+    fp = _h60("concat_ws('|', 'fp', CAST(media_id AS VARCHAR), CAST(fn AS VARCHAR))")
+    return (
+        f"WITH m AS ({_MEDIA_SQL}),"
+        " v AS (SELECT media_id, unnest(list_filter(range(0, nf),"
+        " x -> x % 10 = 0)) AS fn FROM m WHERE kind = 'video')"
+        f" SELECT media_id, CAST(fn AS INT) AS frame_no, {fp} AS frame_fingerprint"
+        " FROM v"
+    )
+
+
+# --- similarity_ann oracle: the LSH is deterministic (seed-42
+# hyperplanes), and every float op in qsvspark.functions.similarity is a
+# SEQUENTIAL left fold (F.aggregate) — replicated here as explicit
+# left-associated addition chains, so signatures, hamming probe, and the
+# exact-cosine rerank reproduce bit-for-bit ------------------------------
+
+def _ann_oracle(k: int = 10, bits: int = 12, probe_hamming: int = 4,
+                seed: int = 42, dim: int = 64) -> str:
+    from qsvspark.functions.similarity import _hyperplanes
+
+    qv = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+    planes = _hyperplanes(dim, bits, seed)
+
+    def chain(terms: list[str]) -> str:
+        # ((t0 + t1) + t2)... == Spark's aggregate fold (0.0 + t0 == t0)
+        return "(" + " + ".join(terms) + ")"
+
+    # plane dots: embedding promoted float→double BEFORE the multiply
+    # (Spark zip_with with a double literal promotes the float side)
+    sig_terms = []
+    qsig = 0
+    for b, plane in enumerate(planes):
+        dot = chain(
+            [f"CAST(embedding[{i + 1}] AS DOUBLE) * {p!r}" for i, p in enumerate(plane)]
+        )
+        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        if sum(q * p for q, p in zip(qv, plane)) > 0:
+            qsig |= 1 << b
+    sig = "CAST(" + " + ".join(sig_terms) + " AS BIGINT)"
+
+    dot_q = chain(
+        [f"CAST(embedding[{i + 1}] AS DOUBLE) * {q!r}" for i, q in enumerate(qv)]
+    )
+    # norm(embedding): float*float multiply happens in FLOAT, THEN casts
+    # to double — (x*x).cast('double') in dedup._norm
+    norm_a = "sqrt(" + chain(
+        [f"CAST(embedding[{i + 1}] * embedding[{i + 1}] AS DOUBLE)" for i in range(dim)]
+    ) + ")"
+    nq_sum = 0.0
+    for q in qv:  # sequential fold, IEEE-identical to Spark's aggregate
+        nq_sum += q * q
+    norm_q = f"sqrt({nq_sum!r})"
+    cos6 = f"round({dot_q} / ({norm_a} * {norm_q}), 6)"
+    return (
+        f"WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),"
+        f" cand AS (SELECT vec_id, embedding FROM s"
+        f" WHERE bit_count(xor(sig, CAST({qsig} AS BIGINT))) <= {probe_hamming})"
+        f" SELECT vec_id, round({cos6}, 3) AS cos_r FROM cand"
+        f" ORDER BY {cos6} DESC, vec_id LIMIT {k}"
+    )
+
+
 def q_similarity_ann(spark, sf):
     from qsvspark.functions import lsh_ann_topk
 
@@ -504,9 +607,18 @@ def q_pipeline_aggregate_salted(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    # byte_hist serialized (the driver canonicalizer can't sort array
+    # cells); floats rounded engine-side — fully value-oracle-checked
+    # because synth_media derives everything from media_id via md5-60
     from qsvspark.functions.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 500, seed=42))
+    out = extract_features(synth_media(spark, 500, seed=42))
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        F.round("byte_mean", 4).alias("byte_mean_r"),
+        F.concat_ws(",", F.col("byte_hist").cast("array<string>")).alias("byte_hist_str"),
+        F.round("aspect_ratio", 4).alias("aspect_r"),
+    )
 
 
 def q_frame_sample(spark, sf):
@@ -616,9 +728,10 @@ def oracle_sql() -> dict[str, str]:
         "count": (
             'SELECT o_orderstatus, COUNT(*) AS "count" FROM orders GROUP BY o_orderstatus'
         ),
+        # outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT, Spark stays long
         "pivot": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents_sum "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents_sum "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "pivot_mean": (
@@ -632,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "timeline_sum": (
             "SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') "
             'AS timeline_1d, COUNT(*) AS "count", '
-            "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1"
         ),
         "timeslice": (
@@ -792,11 +905,13 @@ def oracle_sql() -> dict[str, str]:
             f" ORDER BY round(list_cosine_similarity(embedding, {_QV_SQL}), 6) DESC, vec_id"
             f" LIMIT 10"
         ),
-        # similarity_ann: genuinely approximate (LSH probing) — a value
-        # oracle would force exactness; recall vs brute force is asserted
-        # in pytest. multimodal_features / frame_sample: operate on
-        # Python-synthesized binary blobs via mapInPandas — no SQL
-        # equivalent → rows-only checks.
+        # the LSH probe is approximate vs brute force, but DETERMINISTIC
+        # given its seed — the oracle replays the signature/probe/rerank
+        # pipeline value-for-value (recall vs brute force is separately
+        # asserted in pytest)
+        "similarity_ann": _ann_oracle(),
+        "multimodal_features": _multimodal_oracle(),
+        "frame_sample": _frame_sample_oracle(),
         "stats": (
             "SELECT 'o_orderkey' AS \"column\", 'bigint' AS dtype, "
             "COUNT(o_orderkey) AS \"count\", 0 AS null_count, "

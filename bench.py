@@ -5,11 +5,16 @@
 
 Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. The scaling section evidences the north-rule
-two-cluster-size criterion in-sandbox: the same pipeline job at local[8]
-vs local[32] on the SAME pre-materialized parquet input (fresh JVM per
-run, JVM/Python startup excluded, best of $QSVSPARK_BENCH_REPS reps to
-strip single-box scheduling noise), reporting sequences/sec at both and
+two-cluster-size criterion in-sandbox: the same pipeline job at N vs 4N
+taskset-pinned cores (primary pair 1v4 — faithful executor emulation
+below this VM's DRAM-bandwidth ceiling; secondary pair 8v32 — the
+bandwidth-capped regime, emitted for transparency) on the SAME
+pre-materialized parquet input (fresh JVM per run, JVM/Python startup
+excluded, best of $QSVSPARK_BENCH_REPS reps to strip single-box
+scheduling noise), reporting sequences/sec at both and
   eff = (throughput_4N / throughput_N) / 4.
+Every rep is individually fenced (timeout / crash → recorded in
+``scaling.errors``); the bench ALWAYS emits its final JSON line.
 
 Methodology notes (full analysis in BASELINE.md):
   - the input table is materialized ONCE (untimed) and read by every
@@ -39,11 +44,29 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_ROWS = int(os.environ.get("QSVSPARK_BENCH_SCALE_ROWS", "4000000"))
+# the scaling input row count is CALIBRATED to the host: a quick
+# 4-core probe measures actual throughput, then rows are sized so the
+# 1-pinned-core rep takes ~TARGET_LO_SECONDS (round 1: a fixed 4M-row
+# 1-core rep took 166 s locally but blew a 1800 s cap on the >10×
+# slower driver host). Bigger inputs amortize fixed per-job overhead
+# (eff 0.83 at 4M vs 0.76 at 1M locally), so we want the LARGEST input
+# the slow rep can safely finish. Override with a fixed row count via
+# QSVSPARK_BENCH_SCALING_ROWS.
+SCALING_ROWS_FIXED = int(os.environ.get("QSVSPARK_BENCH_SCALING_ROWS", "0"))
+TARGET_LO_SECONDS = int(os.environ.get("QSVSPARK_BENCH_TARGET_LO_SECONDS", "240"))
+N_INPUT_FILES = 64  # _materialize_input writes 64 equal range slices
 SKIP_SCALING = os.environ.get("QSVSPARK_BENCH_SKIP_SCALING", "") == "1"
 # best-of-3: run-to-run variance on this virtualized box is ±30% on
 # identical jobs (host-level noise, BASELINE.md §4.4) — the minimum is
 # the steady-state estimate, the mean would measure the neighbors
 REPS = int(os.environ.get("QSVSPARK_BENCH_REPS", "3"))
+# per-rep timeout at the HIGH core count; low-core reps get it scaled
+# by (max_cores / cores). A timed-out or crashed rep is recorded and
+# skipped — the bench always emits its final JSON line.
+WORKER_TIMEOUT = int(os.environ.get("QSVSPARK_BENCH_WORKER_TIMEOUT", "600"))
+# hard wall-clock budget for the whole scaling section; remaining reps
+# are skipped (and noted) once it is exhausted
+SCALING_BUDGET = int(os.environ.get("QSVSPARK_BENCH_SCALING_BUDGET", "2400"))
 
 HEADLINE = [
     "select", "isin_numeric", "grep", "sed", "sort_head", "uniq", "count",
@@ -68,9 +91,16 @@ def _materialize_input(spark, rows: int, path: str) -> None:
     )
 
 
-def _scaling_worker(cores: int, rows: int, input_path: str) -> None:
-    """Subprocess entry: read the shared input at local[cores], run the
-    pipeline, print one JSON line."""
+def _input_files(input_path: str, n_files: int) -> list[str]:
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(input_path, "part-*")))
+    return parts[:n_files] if 0 < n_files < len(parts) else parts
+
+
+def _scaling_worker(cores: int, rows: int, input_path: str, n_files: int) -> None:
+    """Subprocess entry: read the first n_files range slices of the
+    shared input at local[cores], run the pipeline, print one JSON line."""
     from qsvspark.session import get_spark
     from qsvspark.pipeline import NorthStarPipeline
 
@@ -86,7 +116,7 @@ def _scaling_worker(cores: int, rows: int, input_path: str) -> None:
         NorthStarPipeline(spark, warm_wh).run(warm, "warmup")
         shutil.rmtree(warm_wh, ignore_errors=True)
 
-        tokens = spark.read.parquet(input_path)
+        tokens = spark.read.parquet(*_input_files(input_path, n_files))
         pipe = NorthStarPipeline(spark, wh)
         t0 = time.time()
         m = pipe.run(tokens, input_fingerprint=f"bench-{rows}-42-{cores}")
@@ -102,9 +132,9 @@ def _scaling_worker(cores: int, rows: int, input_path: str) -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-def _worker_cmd(cores: int, rows: int, input_path: str) -> list[str]:
+def _worker_cmd(cores: int, rows: int, input_path: str, n_files: int) -> list[str]:
     cmd = [sys.executable, __file__, "--scaling-worker", str(cores),
-           str(rows), input_path]
+           str(rows), input_path, str(n_files)]
     # Pin the WHOLE process tree (JVM task threads + GC + Python workers)
     # to exactly `cores` CPUs: a real N-core executor container confines
     # all of that to N cores, whereas unpinned local[N] lets Python/GC
@@ -129,51 +159,156 @@ def _worker_env(cores: int) -> dict:
     return env
 
 
-# Default N vs 4N pair: 1 vs 4 pinned cores. Higher pairs measure this
+# Primary N vs 4N pair: 1 vs 4 pinned cores. Higher pairs measure this
 # VM's DRAM-bandwidth saturation, not the engine: aggregate memcpy
 # bandwidth on this box scales 8→32 procs at only ~0.57 efficiency, and
 # the pipeline tracks that hardware ceiling (full curve + analysis in
 # BASELINE.md §4). On a real cluster each 4N-executor node brings its own
-# memory controllers, so the low-N pair is the faithful proxy.
+# memory controllers, so the low-N pair is the faithful proxy. The 8v32
+# pair is ALSO measured and emitted so the bandwidth-capped regime is
+# visible in the artifact itself, not only in BASELINE.md prose.
 SCALING_PAIR = tuple(
     int(x) for x in os.environ.get("QSVSPARK_BENCH_PAIR", "1,4").split(",")
 )
+EXTRA_PAIRS = [
+    tuple(int(x) for x in p.split("v"))
+    for p in os.environ.get("QSVSPARK_BENCH_EXTRA_PAIRS", "8v32").split(";")
+    if p
+]
 
 
-def _run_scaling(rows: int, input_path: str) -> dict:
-    out: dict = {"rows": rows, "reps": REPS, "runs": {}}
-    for cores in SCALING_PAIR:
-        best = None
-        for _ in range(REPS):
-            r = subprocess.run(
-                _worker_cmd(cores, rows, input_path),
-                capture_output=True, text=True, timeout=1800,
-                env=_worker_env(cores),
-            )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-            if not line:
-                out["runs"].setdefault(f"local[{cores}]", {"error": r.stderr[-500:]})
-                continue
-            run = json.loads(line[-1])
-            if best is None or run["seconds"] < best["seconds"]:
-                best = run
-        if best:
-            out["runs"][f"local[{cores}]"] = best
-    lo, hi = SCALING_PAIR
-    n_lo = out["runs"].get(f"local[{lo}]", {})
-    n_hi = out["runs"].get(f"local[{hi}]", {})
-    if "sequences_per_sec" in n_lo and "sequences_per_sec" in n_hi:
-        out["pair"] = f"{lo} vs {hi} cores (process tree pinned via taskset)"
-        out["scaling_efficiency"] = round(
-            (n_hi["sequences_per_sec"] / n_lo["sequences_per_sec"]) / (hi / lo), 3
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _one_rep(
+    cores: int, rows: int, input_path: str, n_files: int,
+    timeout: float, errors: list, tag: str,
+) -> dict | None:
+    """Run one fenced worker rep; any failure is recorded and returns None."""
+    try:
+        r = subprocess.run(
+            _worker_cmd(cores, rows, input_path, n_files),
+            capture_output=True, text=True, timeout=timeout,
+            env=_worker_env(cores),
         )
-        out["counts_match"] = n_lo["per_sink_counts"] == n_hi["per_sink_counts"]
+    except subprocess.TimeoutExpired:
+        errors.append(f"{tag} timed out after {int(timeout)}s")
+        return None
+    except Exception as e:  # noqa: BLE001 — bench must always emit
+        errors.append(f"{tag}: {e!r}"[:300])
+        return None
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        errors.append(f"{tag} rc={r.returncode}: " + r.stderr[-300:].replace("\n", " "))
+        return None
+    return json.loads(lines[-1])
+
+
+def _run_scaling(input_path: str, total_rows: int) -> dict:
+    """Measure pipeline throughput at each core level in the requested
+    pairs. Every failure mode (rep timeout, worker crash, budget
+    exhaustion) is recorded in ``errors`` and the function ALWAYS returns
+    a dict — one bad rep can no longer lose the whole bench artifact.
+
+    Row-count calibration: a 4-core probe on a small file subset measures
+    this host's actual throughput, then the scaling input is sized so the
+    slowest (1-pinned-core) rep takes ~TARGET_LO_SECONDS — the largest
+    input (best overhead amortization) that cannot blow its timeout even
+    on a 10×-contended host. Workers read the first K of the input's 64
+    equal range-slice files, so every level sees the identical rows.
+    """
+    pairs = [tuple(SCALING_PAIR)] + [p for p in EXTRA_PAIRS if p != tuple(SCALING_PAIR)]
+    # primary pair first, cheap (high-core) level before the expensive
+    # low-core level inside each pair, so budget exhaustion costs the
+    # secondary pair, not the headline number
+    levels: list[int] = []
+    for lo, hi in pairs:
+        for c in (hi, lo):
+            if c not in levels:
+                levels.append(c)
+    # timeout scale: a c-core run takes ~(baseline/c)× the baseline-core
+    # run; key it off the PRIMARY pair's high level so the cheap extra-
+    # pair levels don't inflate the slow-level budget
+    baseline = max(SCALING_PAIR)
+    lo_cores = min(SCALING_PAIR)
+    deadline = time.time() + SCALING_BUDGET
+    rows_per_file = total_rows // N_INPUT_FILES
+    out: dict = {"reps": REPS, "runs": {}, "errors": []}
+
+    if SCALING_ROWS_FIXED:
+        rows = min(SCALING_ROWS_FIXED, total_rows)
+    else:
+        cal_files = max(1, (500_000 // rows_per_file) or 1)
+        cal_rows = cal_files * rows_per_file
+        _log(f"[bench] calibration: local[{baseline}] on {cal_rows} rows")
+        cal = _one_rep(baseline, cal_rows, input_path, cal_files,
+                       WORKER_TIMEOUT, out["errors"], "calibration")
+        if cal:
+            tput_hi = cal["sequences_per_sec"]
+            # est lo-core throughput ≈ tput_hi / (baseline/lo) / 0.8(eff guess)
+            tput_lo_est = tput_hi * lo_cores / (baseline * 0.8)
+            rows = int(TARGET_LO_SECONDS * tput_lo_est)
+            out["calibration"] = {
+                "probe_rows": cal_rows, "probe_seconds": cal["seconds"],
+                "probe_sequences_per_sec": tput_hi,
+            }
+        else:
+            rows = 500_000  # calibration failed: smallest safe input
+    n_files = min(N_INPUT_FILES, max(8, rows // rows_per_file))
+    rows = n_files * rows_per_file
+    out["rows"] = rows
+    _log(f"[bench] scaling rows={rows} ({n_files}/{N_INPUT_FILES} input files)")
+
+    for cores in levels:
+        attempts = []
+        for i in range(REPS):
+            remaining = deadline - time.time()
+            if remaining < 30:
+                if not attempts:
+                    out["errors"].append(
+                        f"scaling budget ({SCALING_BUDGET}s) exhausted before local[{cores}]"
+                    )
+                break
+            timeout = min(remaining, WORKER_TIMEOUT * max(1, baseline // cores))
+            _log(f"[bench] scaling local[{cores}] rep {i + 1}/{REPS} "
+                 f"(timeout {int(timeout)}s)")
+            run = _one_rep(cores, rows, input_path, n_files, timeout,
+                           out["errors"], f"local[{cores}] rep {i + 1}")
+            if run is None:
+                continue
+            attempts.append(run)
+            _log(f"[bench] local[{cores}] rep {i + 1}: {run['seconds']}s")
+            # a long rep IS the steady-state estimate; don't burn the
+            # budget re-measuring it
+            if run["seconds"] > 0.5 * timeout:
+                break
+        if attempts:
+            out["runs"][f"local[{cores}]"] = min(attempts, key=lambda a: a["seconds"])
+    out["pairs"] = {}
+    for lo, hi in pairs:
+        n_lo = out["runs"].get(f"local[{lo}]", {})
+        n_hi = out["runs"].get(f"local[{hi}]", {})
+        if "sequences_per_sec" in n_lo and "sequences_per_sec" in n_hi:
+            out["pairs"][f"{lo}v{hi}"] = {
+                "scaling_efficiency": round(
+                    (n_hi["sequences_per_sec"] / n_lo["sequences_per_sec"]) / (hi / lo), 3
+                ),
+                "counts_match": n_lo["per_sink_counts"] == n_hi["per_sink_counts"],
+            }
+    lo, hi = SCALING_PAIR
+    primary = out["pairs"].get(f"{lo}v{hi}")
+    if primary:
+        out["pair"] = f"{lo} vs {hi} cores (process tree pinned via taskset)"
+        out["scaling_efficiency"] = primary["scaling_efficiency"]
+        out["counts_match"] = primary["counts_match"]
     return out
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
-        _scaling_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        _scaling_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                        int(sys.argv[5]))
         return
 
     from qsvspark.session import get_spark
@@ -182,21 +317,27 @@ def main() -> None:
     spark = get_spark("qsvspark-bench", parallelism=CPUS, shuffle_partitions=CPUS)
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        df = fn(spark, SF_DIR)
-        t0 = time.time()
-        # a real action that materializes every row without driver collect
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            # a real action that materializes every row without driver collect
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the artifact
+            query_errors[name] = repr(e)[:300]
+        _log(f"[bench] headline {name}: {timings.get(name, 'ERROR')}")
     total = round(sum(timings.values()), 3)
 
-    # materialize the pipeline input ONCE (untimed setup — the north-rule
+    # materialize the pipeline inputs ONCE (untimed setup — the north-rule
     # job reads an existing table; generation is not part of the pipeline)
     base = _fast_dir()
     input_dir = tempfile.mkdtemp(prefix="bench_input_", dir=base)
     input_path = os.path.join(input_dir, "tokens")
     wh = tempfile.mkdtemp(prefix="bench_pipe_", dir=base)
+    pipeline: dict | None = None
+    scaling: dict | None = None
     try:
         _materialize_input(spark, SCALE_ROWS, input_path)
 
@@ -216,12 +357,15 @@ def main() -> None:
         }
         spark.stop()
 
-        scaling = None if SKIP_SCALING else _run_scaling(SCALE_ROWS, input_path)
+        if not SKIP_SCALING:
+            scaling = _run_scaling(input_path, SCALE_ROWS)
+    except Exception as e:  # noqa: BLE001 — always emit the final JSON line
+        query_errors["__pipeline__"] = repr(e)[:500]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(input_dir, ignore_errors=True)
 
-    print(json.dumps({
+    result = {
         "metric": "qsvspark headline operator suite + parse-route-aggregate pipeline",
         "value": total,
         "unit": "sec",
@@ -229,7 +373,10 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "pipeline": pipeline,
         "scaling": scaling,
-    }))
+    }
+    if query_errors:
+        result["errors"] = query_errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

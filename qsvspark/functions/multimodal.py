@@ -16,9 +16,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from qsvspark.functions.dedup import hash60
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -42,12 +44,26 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def media_hash(seed: int, rid: Column, tag: str, extra: Column | None = None) -> Column:
+    """Cross-engine 60-bit hash for media synthesis: md5-60 over a
+    '|'-joined key. DuckDB reproduces it exactly (see dedup.hash60), which
+    is what makes the multimodal driver queries fully value-oracle-checked
+    — the payload bytes, kinds, and metadata are all pure functions of
+    media_id through this hash."""
+    parts = [F.lit("mm"), F.lit(str(seed)), rid.cast("string"), F.lit(tag)]
+    if extra is not None:
+        parts.append(extra.cast("string"))
+    return hash60(F.concat_ws("|", *parts))
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: payload = seeded pseudo-random
-    bytes (a pure function of media_id — same trick as synth_tokens)."""
+    bytes (a pure function of media_id through the md5-60 hash family —
+    same determinism trick as synth_tokens, but externally reproducible)."""
+    rid = F.col("id")
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(media_hash(seed, rid, "kind"), F.lit(3)) + 1).cast("int"),
     )
     payload = F.unhex(
         F.concat_ws(
@@ -55,21 +71,21 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda i: F.lpad(
-                    F.hex(F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(256))),
+                    F.hex(F.pmod(media_hash(seed, rid, "b", i), F.lit(256))),
                     2, "0",
                 ),
             ),
         )
     )
     meta = F.struct(
-        (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(media_hash(seed, rid, "w"), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(media_hash(seed, rid, "h"), F.lit(1080)) + 1).cast("int").alias("height"),
         F.lit(16000).alias("sample_rate"),
-        (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(300)) + 1).cast("int").alias("n_frames"),
+        (F.pmod(media_hash(seed, rid, "nf"), F.lit(300)) + 1).cast("int").alias("n_frames"),
         F.lit("raw").alias("codec"),
     )
     return spark.range(n).select(
-        F.col("id").alias("media_id"), kinds.alias("kind"),
+        rid.alias("media_id"), kinds.alias("kind"),
         payload.alias("payload"), meta.alias("meta"),
     )
 
@@ -117,8 +133,10 @@ def extract_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
                         if len(a) else [0] * hist_bins
                         for a in arrs
                     ],
+                    # full precision — callers round; Python's half-even
+                    # round() would diverge from engine HALF_UP rounding
                     "aspect_ratio": [
-                        round(w / h, 6) if (w and h) else None
+                        w / h if (w and h) else None
                         for w, h in zip(pdf["meta"].map(lambda m: m["width"] if m is not None else None),
                                         pdf["meta"].map(lambda m: m["height"] if m is not None else None))
                     ],
@@ -145,8 +163,14 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.length("payload").alias("__plen"),
         n_frames.alias("__nf"),
     )
-    # deterministic fake frame fingerprint from (media_id, frame_no)
+    # deterministic fake frame fingerprint from (media_id, frame_no) —
+    # md5-60 so an external engine can verify every fingerprint
     return exploded.select(
         "media_id", "frame_no",
-        F.xxhash64("media_id", "frame_no").alias("frame_fingerprint"),
+        hash60(
+            F.concat_ws(
+                "|", F.lit("fp"), F.col("media_id").cast("string"),
+                F.col("frame_no").cast("string"),
+            )
+        ).alias("frame_fingerprint"),
     )
