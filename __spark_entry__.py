@@ -375,6 +375,18 @@ def q_embedding_near_dups(spark, sf):
     return out.select("id_a", "id_b")
 
 
+def q_embedding_near_dups_lsh(spark, sf):
+    # the SCALE path for embedding dedup: banded hyperplane-LSH buckets
+    # generate candidates (no all-pairs join), exact cosine verifies
+    from qsvspark.functions import embedding_near_dups_lsh
+
+    out = embedding_near_dups_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, bits=16, bands=8,
+        seed=42,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
 def q_similarity_topk(spark, sf):
     from qsvspark.functions import brute_force_topk
 
@@ -501,42 +513,58 @@ def _frame_sample_oracle() -> str:
     )
 
 
-# --- similarity_ann oracle: the LSH is deterministic (seed-42
-# hyperplanes), and every float op in qsvspark.functions.similarity is a
+# --- LSH oracles: the hyperplane LSH is deterministic (seeded planes),
+# and every float op in qsvspark.functions.similarity/dedup is a
 # SEQUENTIAL left fold (F.aggregate) — replicated here as explicit
-# left-associated addition chains, so signatures, hamming probe, and the
-# exact-cosine rerank reproduce bit-for-bit ------------------------------
+# left-associated addition chains, so signatures, hamming probes, band
+# buckets, and the exact-cosine verify reproduce bit-for-bit ------------
+
+def _chain(terms: list[str]) -> str:
+    # ((t0 + t1) + t2)... == Spark's aggregate fold (0.0 + t0 == t0)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sig_sql(planes: list[list[float]], vec: str = "embedding") -> str:
+    """Signature expression replica: bit b set iff dot(vec, plane_b) > 0.
+    The embedding is promoted float→double BEFORE the multiply (Spark
+    zip_with with a double literal promotes the float side)."""
+    terms = []
+    for b, plane in enumerate(planes):
+        dot = _chain(
+            [f"CAST({vec}[{i + 1}] AS DOUBLE) * {p!r}" for i, p in enumerate(plane)]
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _pair_cos_sql(va: str, vb: str, dim: int = 64) -> str:
+    """cosine(a, b) replica for two float vectors: zip_with multiplies in
+    FLOAT then casts to double ((x*y).cast('double') in dedup._dot)."""
+    dot = _chain([f"CAST({va}[{k}] * {vb}[{k}] AS DOUBLE)" for k in range(1, dim + 1)])
+    na = "sqrt(" + _chain(
+        [f"CAST({va}[{k}] * {va}[{k}] AS DOUBLE)" for k in range(1, dim + 1)]
+    ) + ")"
+    nb = "sqrt(" + _chain(
+        [f"CAST({vb}[{k}] * {vb}[{k}] AS DOUBLE)" for k in range(1, dim + 1)]
+    ) + ")"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
 
 def _ann_oracle(k: int = 10, bits: int = 12, probe_hamming: int = 4,
                 seed: int = 42, dim: int = 64) -> str:
-    from qsvspark.functions.similarity import _hyperplanes
+    from qsvspark.functions.similarity import _hyperplanes, query_signature
 
     qv = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
     planes = _hyperplanes(dim, bits, seed)
+    sig = _sig_sql(planes)
+    qsig = query_signature(qv, planes)
 
-    def chain(terms: list[str]) -> str:
-        # ((t0 + t1) + t2)... == Spark's aggregate fold (0.0 + t0 == t0)
-        return "(" + " + ".join(terms) + ")"
-
-    # plane dots: embedding promoted float→double BEFORE the multiply
-    # (Spark zip_with with a double literal promotes the float side)
-    sig_terms = []
-    qsig = 0
-    for b, plane in enumerate(planes):
-        dot = chain(
-            [f"CAST(embedding[{i + 1}] AS DOUBLE) * {p!r}" for i, p in enumerate(plane)]
-        )
-        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
-        if sum(q * p for q, p in zip(qv, plane)) > 0:
-            qsig |= 1 << b
-    sig = "CAST(" + " + ".join(sig_terms) + " AS BIGINT)"
-
-    dot_q = chain(
+    dot_q = _chain(
         [f"CAST(embedding[{i + 1}] AS DOUBLE) * {q!r}" for i, q in enumerate(qv)]
     )
     # norm(embedding): float*float multiply happens in FLOAT, THEN casts
     # to double — (x*x).cast('double') in dedup._norm
-    norm_a = "sqrt(" + chain(
+    norm_a = "sqrt(" + _chain(
         [f"CAST(embedding[{i + 1}] * embedding[{i + 1}] AS DOUBLE)" for i in range(dim)]
     ) + ")"
     nq_sum = 0.0
@@ -550,6 +578,36 @@ def _ann_oracle(k: int = 10, bits: int = 12, probe_hamming: int = 4,
         f" WHERE bit_count(xor(sig, CAST({qsig} AS BIGINT))) <= {probe_hamming})"
         f" SELECT vec_id, round({cos6}, 3) AS cos_r FROM cand"
         f" ORDER BY {cos6} DESC, vec_id LIMIT {k}"
+    )
+
+
+def _near_dups_lsh_oracle(threshold: float = 0.45, bits: int = 16,
+                          bands: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB replica of embedding_near_dups_lsh: signature → band
+    buckets ((sig >> b*r) & mask) → bucket self-join candidates → exact
+    cosine verify at the threshold."""
+    from qsvspark.functions.similarity import _hyperplanes
+
+    r = bits // bands
+    mask = (1 << r) - 1
+    planes = _hyperplanes(dim, bits, seed)
+    sig = _sig_sql(planes)
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * r}) & {mask} AS bucket FROM s"
+        for b in range(bands)
+    )
+    cos6 = _pair_cos_sql("va", "vb", dim)
+    return (
+        f"WITH s AS (SELECT vec_id, {sig} AS sig FROM embeddings),"
+        f" b AS ({banded}),"
+        " cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b"
+        " FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket"
+        " AND l.vec_id < r.vec_id),"
+        " v AS (SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb"
+        " FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a"
+        " JOIN embeddings eb ON eb.vec_id = c.id_b)"
+        f" SELECT id_a, id_b, round({cos6}, 4) AS cos_r FROM v"
+        f" WHERE {cos6} >= {threshold}"
     )
 
 
@@ -672,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "pipeline_parse": q_pipeline_parse,
@@ -910,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         # pipeline value-for-value (recall vs brute force is separately
         # asserted in pytest)
         "similarity_ann": _ann_oracle(),
+        "embedding_near_dups_lsh": _near_dups_lsh_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "frame_sample": _frame_sample_oracle(),
         "stats": (

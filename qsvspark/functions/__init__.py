@@ -12,15 +12,16 @@ from qsvspark.functions.text import (
 from qsvspark.functions.dedup import (
     dedup_exact,
     embedding_near_dups,
+    embedding_near_dups_lsh,
     minhash_lsh_pairs,
     ngram_jaccard,
     simhash,
 )
-from qsvspark.functions.similarity import brute_force_topk, lsh_ann_topk
+from qsvspark.functions.similarity import AnnIndex, brute_force_topk, lsh_ann_topk
 
 __all__ = [
     "add_token_counts", "add_quality", "add_lang_id", "add_fingerprint",
     "dedup_exact", "minhash_lsh_pairs", "simhash", "ngram_jaccard",
-    "embedding_near_dups",
-    "brute_force_topk", "lsh_ann_topk",
+    "embedding_near_dups", "embedding_near_dups_lsh",
+    "brute_force_topk", "lsh_ann_topk", "AnnIndex",
 ]

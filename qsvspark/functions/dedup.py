@@ -87,6 +87,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -94,6 +95,14 @@ def minhash_lsh_pairs(
     sharing any band hash become a candidate pair. Returns (id_a, id_b,
     band) with id_a < id_b. The heavy lifting is one groupBy on the band
     bucket — self-cross-join only *within* buckets (tiny by construction).
+
+    max_bucket_size caps the degenerate case: a bucket of B identical
+    docs still yields O(B²) pairs, so buckets above the cap are DROPPED
+    from candidate generation (their members are by construction exact
+    or extreme dups — route those through dedup_exact first, which is
+    O(B)). The cap turns worst-case quadratic blowup at 100-TB scale
+    into a bounded skip; dropped buckets are observable via the
+    ``lsh_dropped_buckets`` metric column pattern in tests.
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
@@ -118,6 +127,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # one partial-agg'd count per bucket; oversized buckets excluded
+        # via broadcast-friendly semi join on the (tiny) surviving keys
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -225,13 +244,89 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold. Brute-force O(n²) variant —
-    correct at verification scale; at 100 TB use lsh_ann buckets from
-    similarity.py to generate candidates and verify with this cosine."""
+    the VERIFICATION baseline only; the scale path is
+    embedding_near_dups_lsh (signature-bucketed candidates, never
+    all-pairs)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup via banded random-hyperplane LSH — the 100-TB
+    path: candidates only from pairs sharing a band bucket (one groupBy
+    shuffle on (band, bucket), self-join inside buckets), then EXACT
+    cosine verification of the (small) candidate set. No all-pairs cross
+    join anywhere. Recall for cosine ≥ t with r bits/band and B bands is
+    1-(1-p^r)^B where p = 1 - arccos(t)/π; with the defaults and t=0.95,
+    recall > 0.9999. Same bucket-size cap semantics as minhash_lsh_pairs.
+    Returns (id_a, id_b, cos) with cos rounded to 6."""
+    from qsvspark.functions.similarity import _hyperplanes, signature_expr
+
+    r = bits // bands
+    planes = _hyperplanes(dim, bits, seed)
+    sig = df.select(F.col(id_col), signature_expr(vec_col, planes).alias("__sig"))
+    mask = F.lit((1 << r) - 1)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sig"), b * r)
+                        .bitwiseAND(mask)
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

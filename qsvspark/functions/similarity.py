@@ -16,10 +16,12 @@ O(n/2^B · probes) bucket read.
 
 from __future__ import annotations
 
+import itertools
 import math
+import os
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qsvspark.functions.dedup import cosine
@@ -60,6 +62,29 @@ def signature_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return sig
 
 
+def query_signature(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side signature of the query vector (same bit rule as
+    signature_expr; Python float ops are IEEE-double, identical to the
+    executor-side fold)."""
+    qsig = 0
+    for b, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) > 0:
+            qsig |= 1 << b
+    return qsig
+
+
+def _rerank_topk(
+    cand: DataFrame, query_vec: list[float], k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """Exact-cosine rerank of a candidate set → TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -71,20 +96,131 @@ def lsh_ann_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: filter to signature-near candidates
-    (hamming ≤ probe_hamming), exact-rerank the survivors."""
+    (hamming ≤ probe_hamming), exact-rerank the survivors. Signatures are
+    recomputed per query — the one-off / ad-hoc path; for repeated
+    queries build an AnnIndex once and probe only its buckets."""
     planes = _hyperplanes(len(query_vec), bits, seed)
-    qsig = 0
-    for b, plane in enumerate(planes):
-        dot = sum(q * p for q, p in zip(query_vec, plane))
-        if dot > 0:
-            qsig |= 1 << b
+    qsig = query_signature(query_vec, planes)
     sig = signature_expr(vec_col, planes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= probe_hamming
     )
-    return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _rerank_topk(cand, query_vec, k, vec_col, id_col)
+
+
+class AnnIndex:
+    """Build-once persistent LSH-ANN index: signatures are computed ONCE
+    and stored with the vectors in a SnapshotCatalog table PARTITIONED BY
+    a signature prefix, so a query reads only the partition directories
+    whose prefix could hold a candidate instead of scanning every row.
+
+    Completeness: hamming(sig, qsig) ≤ h implies the prefix bits alone
+    differ by ≤ h, so enumerating every prefix within hamming
+    min(h, prefix_bits) of the query's prefix covers ALL candidates —
+    the indexed query returns EXACTLY lsh_ann_topk's result while
+    reading a strict subset of the buckets (pytest-asserted). At cluster
+    scale the same layout maps to an Iceberg table partitioned by
+    sig_prefix; the probe is a partition-pruned read of
+    sum_{i<=h} C(prefix_bits, i) of the 2^prefix_bits directories.
+    """
+
+    def __init__(
+        self,
+        warehouse: str,
+        table: str = "ann_index",
+        bits: int = 12,
+        prefix_bits: int = 6,
+        seed: int = 42,
+    ):
+        from qsvspark.io.snapshot import SnapshotCatalog
+
+        if not 0 < prefix_bits <= bits:
+            raise ValueError("prefix_bits must be in (0, bits]")
+        self.catalog = SnapshotCatalog(warehouse)
+        self.table = table
+        self.bits = bits
+        self.prefix_bits = prefix_bits
+        self.seed = seed
+        self.dim: int | None = None
+        self.vec_col = "embedding"
+        self.id_col = "vec_id"
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int = 64,
+        input_fingerprint: str = "",
+    ) -> dict:
+        """One pass over the vectors: signature + prefix, written
+        partitioned by sig_prefix (per-bucket counts land in the
+        manifest). Rebuilds are snapshot-versioned like any other table."""
+        self.dim, self.vec_col, self.id_col = dim, vec_col, id_col
+        planes = _hyperplanes(dim, self.bits, self.seed)
+        mask = (1 << self.prefix_bits) - 1
+        indexed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            signature_expr(vec_col, planes).alias("sig"),
+        ).withColumn("sig_prefix", F.col("sig").bitwiseAND(F.lit(mask)))
+        return self.catalog.write(
+            indexed,
+            self.table,
+            input_fingerprint=input_fingerprint or f"ann-{self.bits}-{self.seed}",
+            lineage={"stages": ["ann_index_build"], "bits": self.bits,
+                     "prefix_bits": self.prefix_bits, "seed": self.seed},
+            partition_by="sig_prefix",
+            count_by="sig_prefix",
+        )
+
+    def probed_prefixes(self, qsig: int, probe_hamming: int) -> list[int]:
+        """All prefix values within hamming ≤ min(probe, prefix_bits) of
+        the query prefix — the only buckets a candidate can live in."""
+        qprefix = qsig & ((1 << self.prefix_bits) - 1)
+        flips = min(probe_hamming, self.prefix_bits)
+        out = []
+        for n in range(flips + 1):
+            for pos in itertools.combinations(range(self.prefix_bits), n):
+                p = qprefix
+                for b in pos:
+                    p ^= 1 << b
+                out.append(p)
+        return sorted(out)
+
+    def _bucket_dirs(self, prefixes: list[int]) -> tuple[str, list[str]]:
+        snap = self.catalog.current_snapshot(self.table)
+        if snap is None:
+            raise FileNotFoundError(f"AnnIndex table '{self.table}' not built")
+        data_dir = os.path.join(self.catalog._table_dir(self.table), snap, "data")  # noqa: SLF001
+        dirs = [
+            os.path.join(data_dir, f"sig_prefix={p}")
+            for p in prefixes
+            if os.path.isdir(os.path.join(data_dir, f"sig_prefix={p}"))
+        ]
+        return data_dir, dirs
+
+    def query(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int = 10,
+        probe_hamming: int = 3,
+    ) -> DataFrame:
+        """Probe only the buckets that can contain a candidate, filter on
+        full-signature hamming, exact-rerank. Identical results to
+        lsh_ann_topk at the same (bits, probe, seed)."""
+        if self.dim is None:
+            self.dim = len(query_vec)
+        planes = _hyperplanes(self.dim, self.bits, self.seed)
+        qsig = query_signature(query_vec, planes)
+        _, dirs = self._bucket_dirs(self.probed_prefixes(qsig, probe_hamming))
+        if not dirs:
+            return _rerank_topk(
+                spark.createDataFrame([], f"{self.id_col} long, {self.vec_col} array<float>"),
+                query_vec, k, self.vec_col, self.id_col,
+            )
+        cand = spark.read.parquet(*dirs).filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= probe_hamming
+        )
+        return _rerank_topk(cand, query_vec, k, self.vec_col, self.id_col)

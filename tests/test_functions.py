@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from qsvspark.functions import (
+    AnnIndex,
     add_fingerprint,
     add_lang_id,
     add_quality,
@@ -16,6 +17,7 @@ from qsvspark.functions import (
     brute_force_topk,
     dedup_exact,
     embedding_near_dups,
+    embedding_near_dups_lsh,
     lsh_ann_topk,
     minhash_lsh_pairs,
     ngram_jaccard,
@@ -80,6 +82,27 @@ class TestDedup:
         assert (0, 2) in pairs  # near dup shares most shingles
         assert (0, 4) not in pairs and (3, 4) not in pairs
 
+    def test_minhash_bucket_cap_bounds_degenerate_buckets(self, spark):
+        """10k identical docs form one bucket per band that would go
+        O(B²) = 50M pairs; the cap drops those buckets so the job stays
+        bounded, while normal-sized buckets still pair up."""
+        degenerate = spark.range(2, 10_002).select(
+            F.col("id").alias("doc_id"),
+            F.lit("identical boilerplate text repeated everywhere forever").alias("text"),
+        )
+        near = spark.createDataFrame(
+            [(0, "a genuinely unique document about spark shuffles and joins"),
+             (1, "a genuinely unique document about spark shuffles and sorts")],
+            ["doc_id", "text"],
+        )
+        pairs = minhash_lsh_pairs(
+            near.unionByName(degenerate), num_hashes=16, bands=8, k=4,
+            max_bucket_size=100,
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got            # small buckets unaffected
+        assert len(got) < 10_000        # degenerate 50M-pair bucket dropped
+
     def test_simhash_near_for_near_dups(self, spark, docs):
         sh = simhash(docs).select("doc_id", "simhash")
         a = sh.alias("a").crossJoin(sh.alias("b")).filter("a.doc_id < b.doc_id")
@@ -129,6 +152,40 @@ class TestSimilarity:
                   lsh_ann_topk(emb, qv, k=10, bits=12, probe_hamming=4).collect()}
         recall = len(exact & approx) / 10
         assert recall >= 0.5  # LSH with generous probing on 500 vecs
+
+    def test_embedding_near_dups_lsh_vs_brute(self, emb):
+        """The bucketed path returns a SUBSET of brute force (exact
+        verify → precision 1.0) with high recall at these parameters."""
+        brute = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_dups(emb, threshold=0.45).collect()}
+        lsh = {(r["id_a"], r["id_b"])
+               for r in embedding_near_dups_lsh(
+                   emb, threshold=0.45, dim=64, bits=16, bands=8).collect()}
+        assert lsh <= brute  # exact cosine verify: no false positives
+        assert brute  # the fixture data does contain near-dup pairs
+        assert len(lsh & brute) / len(brute) >= 0.9
+
+    def test_ann_index_matches_scan_and_prunes(self, emb, tmp_path):
+        """Indexed probe == full-scan lsh_ann_topk at the same params,
+        while reading a strict subset of the signature buckets."""
+        idx = AnnIndex(str(tmp_path), bits=12, prefix_bits=8, seed=42)
+        manifest = idx.build(emb, dim=64)
+        assert manifest["committed"] and manifest["partition_counts"]
+        qv = list(emb.filter("vec_id = 3").collect()[0]["embedding"])
+        scan = [(r["vec_id"], r["cos"]) for r in
+                lsh_ann_topk(emb, qv, k=10, bits=12, probe_hamming=2).collect()]
+        probed = [(r["vec_id"], r["cos"]) for r in
+                  idx.query(emb.sparkSession, qv, k=10, probe_hamming=2).collect()]
+        assert probed == scan
+        # hamming ≤ 2 over an 8-bit prefix probes 1+8+28 = 37 of 256
+        from qsvspark.functions.similarity import _hyperplanes, query_signature
+
+        qsig = query_signature(qv, _hyperplanes(64, 12, 42))
+        prefixes = idx.probed_prefixes(qsig, 2)
+        assert len(prefixes) == 37 < 256
+        _, dirs = idx._bucket_dirs(prefixes)  # noqa: SLF001
+        all_buckets = len(manifest["partition_counts"])
+        assert 0 < len(dirs) < all_buckets
 
 
 class TestMultimodal:
