@@ -823,8 +823,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S')"
             " AS ts_str FROM events WHERE event_id < 500"
         ),
-        # convert json→json prettify has no SQL equivalent (Python
-        # indent-2 rendering) → rows-only; json→xml IS reproducible:
+        # convert json→json prettify: the flat single-key props payload
+        # makes Python's indent-2 sorted rendering SQL-constructible
+        "convert": (
+            "SELECT event_id, '{' || chr(10) || '  \"k\": ' ||"
+            " CAST(props::JSON->>'k' AS VARCHAR) || chr(10) || '}' AS props"
+            " FROM events"
+        ),
         "convert_xml": (
             "SELECT event_id, '<k>' || (props::JSON->>'k') || '</k>' AS props"
             " FROM events"

@@ -150,14 +150,48 @@ def parse_commands(argv: list[str]) -> list[Command]:
     return cmds
 
 
+# required positional arity (mirrors each reference usage line, e.g.
+# "Usage: changetz <colname> --from-tz ..." command.rs:509) — a short
+# chain like `load f.csv - select` must produce "Error: ...", exit 1,
+# not a bare IndexError traceback
+_MIN_ARGS = {
+    "load": 1, "select": 1, "renamecol": 2, "isin": 1, "contains": 2,
+    "grep": 1, "sed": 2, "sort": 1, "timeline": 1, "timeslice": 1,
+    "timeround": 1, "changetz": 1, "convert": 1, "partition": 1, "quilt": 1,
+}
+
+_REQUIRED_OPTS = {
+    "pivot": ("--rows", "--cols", "--values"),
+    "timeround": ("--unit",),
+    "convert": ("--from", "--to"),
+    "changetz": ("--from-tz", "--to-tz"),
+}
+
+
 def validate(cmds: list[Command]) -> None:
-    for c in cmds:
+    for idx, c in enumerate(cmds):
         if c.name not in _VALID_OPTS:
             raise InvalidArgumentError(f"unknown command '{c.name}'")
         bad = set(c.options) - _VALID_OPTS[c.name]
         if bad:
             raise InvalidArgumentError(
                 f"invalid option(s) {sorted(bad)} for command '{c.name}'"
+            )
+        need = _MIN_ARGS.get(c.name, 0)
+        if len(c.args) < need:
+            raise InvalidArgumentError(
+                f"'{c.name}' requires at least {need} argument(s), got {len(c.args)}"
+            )
+        missing = [o for o in _REQUIRED_OPTS.get(c.name, ()) if o not in c.options]
+        if missing:
+            raise InvalidArgumentError(
+                f"'{c.name}' requires option(s) {missing}"
+            )
+        # reference grammar: a finalizer terminates the chain — commands
+        # after one are a usage error, not silently chained
+        if c.name in _FINALIZERS and idx != len(cmds) - 1:
+            raise InvalidArgumentError(
+                f"finalizer '{c.name}' must be the last command in the chain"
             )
 
 
@@ -308,8 +342,10 @@ def _apply(q, c: Command, out):
         q.dumpcache(_opt(c, "-o", default="cache.parquet"))
         return q
     if name == "partition":
+        # CLI parity: one <sanitized_value>.csv per key (partition.rs:34);
+        # the library default (directory-per-key parquet) is the scale path
         outdir = c.args[1] if len(c.args) > 1 else "./partitions"
-        sink_partition(q.df, c.args[0], outdir)
+        sink_partition(q.df, c.args[0], outdir, fmt="csv", per_key_files=True)
         return q
     raise InvalidArgumentError(f"unknown command '{name}'")
 

@@ -139,8 +139,11 @@ class Q:
     def dumpcache(self, output: str) -> None:
         sinks.dumpcache(self.df, output)
 
-    def partition(self, column: str, outdir: str, fmt: str = "parquet") -> None:
-        sinks.partition(self.df, column, outdir, fmt)
+    def partition(
+        self, column: str, outdir: str, fmt: str = "parquet",
+        per_key_files: bool = False,
+    ) -> None:
+        sinks.partition(self.df, column, outdir, fmt, per_key_files=per_key_files)
 
     def collect(self):
         return self.df.collect()

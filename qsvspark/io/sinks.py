@@ -11,6 +11,7 @@ stats.rs:145, dumpcache.rs:34-40).
 from __future__ import annotations
 
 import io as _io
+import os
 import re
 import sys
 
@@ -34,18 +35,66 @@ def show(df: DataFrame, file=None, header: bool = True) -> str:
     return text
 
 
+def _fmt_cell(v) -> str:
+    """Cell rendering parity with the reference's format_anyvalue
+    (showtable.rs:78-99): null → 'null', bools lowercase, floats via
+    shortest round-trip (Rust Display == Python str for f64), integral
+    floats without the trailing .0."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v))
+        return str(v)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".") \
+            if v.microsecond else v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
+
 def showtable(df: DataFrame, max_rows: int = 8, file=None) -> str:
-    """Pretty table of ≤max_rows rows + a shape header; the default
+    """UTF8 box table of ≤max_rows rows + a shape header; the default
     finalizer when a chain ends without one (reference src/main.rs:91-110,
-    finalizers/showtable.rs:6-99, MAX_DISPLAY_ROWS=8)."""
-    n = df.count()
-    shown = df.limit(max_rows + 1).toPandas()
-    truncated = len(shown) > max_rows
+    finalizers/showtable.rs:6-99, MAX_DISPLAY_ROWS=8).
+
+    Exactly like the reference, only limit(max_rows+1) rows are ever
+    collected — NO full count/scan; a longer table shows ``shape: (8+,
+    C) [showing first 8 rows]`` and a ``⋮`` truncation row
+    (showtable.rs:11-42,67-74). Box glyphs match the comfy-table
+    UTF8_FULL preset golden (tests/test_finalizers_showtable.py)."""
+    cols = df.columns
+    head = df.limit(max_rows + 1).collect()
+    truncated = len(head) > max_rows
+    rows = [[_fmt_cell(v) for v in r] for r in head[:max_rows]]
     if truncated:
-        shown = shown.iloc[:max_rows]
-    lines = [f"shape: ({n}, {len(df.columns)})", shown.to_string(index=False)]
-    if truncated:
-        lines.append("…")
+        shape_line = f"shape: ({max_rows}+, {len(cols)}) [showing first {max_rows} rows]"
+        rows.append(["⋮"] * len(cols))
+    else:
+        shape_line = f"shape: ({len(rows)}, {len(cols)})"
+    widths = [
+        max(len(c), *(len(r[i]) for r in rows)) if rows else len(c)
+        for i, c in enumerate(cols)
+    ]
+
+    def border(left: str, fill: str, mid: str, right: str) -> str:
+        return left + mid.join(fill * (w + 2) for w in widths) + right
+
+    def row_line(cells: list[str]) -> str:
+        return "│ " + " ┆ ".join(c.ljust(w) for c, w in zip(cells, widths)) + " │"
+
+    lines = [shape_line, border("┌", "─", "┬", "┐"), row_line(list(cols)),
+             border("╞", "═", "╪", "╡")]
+    for i, r in enumerate(rows):
+        if i:
+            lines.append(border("├", "╌", "┼", "┤"))
+        lines.append(row_line(r))
+    lines.append(border("└", "─", "┴", "┘"))
     text = "\n".join(lines) + "\n"
     (file or sys.stdout).write(text)
     return text
@@ -163,12 +212,15 @@ def dumpcache(df: DataFrame, output: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(output, compression="snappy")
 
 
-_SANITIZE = re.compile(r"[^A-Za-z0-9_.\-]")
+# exact reference charset (partition.rs:107-119): path separators, shell
+# specials, and Unicode control chars → '_', then trim
+_SANITIZE_PATTERN = r'[/\\:*?"<>|\x00-\x1f\x7f-\x9f]'
+_SANITIZE = re.compile(_SANITIZE_PATTERN)
 
 
 def sanitize_key(value) -> str:
     """Invalid filename chars → '_' (reference partition.rs:107-119)."""
-    return _SANITIZE.sub("_", str(value))
+    return _SANITIZE.sub("_", str(value)).strip()
 
 
 def partition(
@@ -177,21 +229,61 @@ def partition(
     outdir: str,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    per_key_files: bool = False,
 ) -> None:
-    """Fan out rows to one directory per distinct key value.
+    """Fan out rows to one directory (or file) per distinct key value.
 
     Reference: finalizers/partition.rs:6-131 collects everything then
     splits in memory — single-node only. Here it is one distributed pass:
     ``df.write.partitionBy(key)`` (dynamic partition overwrite style), so
     each executor writes its own slice of every key; no collect, no
-    per-key job loop. CSV mode is available for reference parity.
+    per-key job loop.
+
+    per_key_files=True gives the reference's exact CLI contract — one
+    ``<sanitized_value>.csv`` per key directly under outdir
+    (partition.rs:34,107-119) — by running the SAME distributed
+    partitioned write into a staging dir and then streaming-merging each
+    key's part files driver-side (file I/O only, no second Spark job, no
+    collect; the merge is the unavoidable cost of a one-file-per-key
+    contract).
     """
     require_columns(df, [column])
     # sanitize JVM-side (regexp_replace) — no Python in the write path
     out = df.withColumn(
         "__part_key__",
-        F.regexp_replace(F.col(column).cast("string"), _SANITIZE.pattern, "_"),
+        F.trim(F.regexp_replace(F.col(column).cast("string"), _SANITIZE_PATTERN, "_")),
     )
+    if per_key_files:
+        import glob as _glob
+        import shutil
+        import urllib.parse
+
+        staging = outdir.rstrip("/") + ".__parts__"
+        (
+            out.write.mode("overwrite").partitionBy("__part_key__")
+            .option("header", "true").csv(staging)
+        )
+        os.makedirs(outdir, exist_ok=True)
+        try:
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("__part_key__="):
+                    continue
+                # Spark hive-escapes special chars in partition dir names
+                val = urllib.parse.unquote(d.split("=", 1)[1])
+                with open(os.path.join(outdir, f"{val}.csv"), "wb") as w:
+                    first = True
+                    for part in sorted(
+                        _glob.glob(os.path.join(staging, d, "part-*"))
+                    ):
+                        with open(part, "rb") as r:
+                            if first:
+                                first = False
+                            else:
+                                r.readline()  # drop the repeated header
+                            shutil.copyfileobj(r, w)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return
     writer = out.write.mode(mode).partitionBy("__part_key__")
     if fmt == "parquet":
         writer.parquet(outdir)

@@ -10,6 +10,8 @@ and amortizes the Python boundary per batch.
 from __future__ import annotations
 
 import json
+import re
+from datetime import datetime
 from zoneinfo import ZoneInfo
 
 import pandas as pd
@@ -21,6 +23,106 @@ from qsvspark.errors import InvalidArgumentError
 from qsvspark.ops.helpers import require_columns
 
 _DEFAULT_OUT_FMT = "__iso8601_micros_colon_offset__"  # sentinel
+
+# ---------------------------------------------------------------------
+# "auto" datetime parsing ladder — semantics ported from the reference
+# (/root/reference/src/operations/chainables/changetz.rs:9-145):
+#   1. flexible parser (dtparse there, pandas 'mixed' + dateutil here)
+#   2. fuzzy regex EXTRACTION of a datetime embedded in free text,
+#      ordinal/"at" cleanup, then re-parse with dedicated formats
+#   3. a ladder of ~25 explicit fallback formats (ISO/US/EU/log/unix)
+# The batch-vectorized pass handles well-formed data; only the failed
+# remainder walks the per-cell ladder.
+
+_FUZZY_DATETIME_PATTERNS = [re.compile(p) for p in [
+    # Month name with day and year: "January 15th, 2023 at 2:30 PM"
+    r"(?i)(?:on\s+)?(?:january|february|march|april|may|june|july|august|september|october|november|december)\s+\d{1,2}(?:st|nd|rd|th)?,?\s+\d{4}(?:\s+at\s+)?\d{1,2}:\d{2}(?::\d{2})?\s*(?:AM|PM)?",
+    # Short month: "Jan 15, 2023 2:30 PM"
+    r"(?i)(?:on\s+)?(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\s+\d{1,2},?\s+\d{4}\s+\d{1,2}:\d{2}(?::\d{2})?\s*(?:AM|PM)?",
+    # ISO-like in text: "2023-01-15 14:30:00"
+    r"\d{4}-\d{1,2}-\d{1,2}\s+\d{1,2}:\d{2}(?::\d{2})?",
+    # US date format: "1/15/2023 2:30 PM"
+    r"\d{1,2}/\d{1,2}/\d{4}\s+\d{1,2}:\d{2}(?::\d{2})?\s*(?:AM|PM)?",
+    # Day month year: "Friday Jan 13 2023 9:00 AM"
+    r"(?i)(?:monday|tuesday|wednesday|thursday|friday|saturday|sunday)\s+(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\s+\d{1,2}\s+\d{4}\s+\d{1,2}:\d{2}(?::\d{2})?\s*(?:AM|PM)?",
+]]
+
+_EXTRACTED_FORMATS = [
+    "%B %d, %Y %I:%M:%S %p", "%B %d, %Y %I:%M %p",
+    "%b %d, %Y %I:%M:%S %p", "%b %d, %Y %I:%M %p",
+    "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M",
+    "%m/%d/%Y %I:%M:%S %p", "%m/%d/%Y %I:%M %p",
+    "%A %b %d %Y %I:%M:%S %p", "%A %b %d %Y %I:%M %p",
+]
+
+_FALLBACK_FORMATS = [
+    "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d",
+    "%m/%d/%Y %H:%M:%S.%f", "%m/%d/%Y %H:%M:%S", "%m/%d/%Y",
+    "%d/%m/%Y %H:%M:%S.%f", "%d/%m/%Y %H:%M:%S", "%d/%m/%Y",
+    "%Y/%m/%d %H:%M:%S.%f", "%Y/%m/%d %H:%M:%S", "%Y/%m/%d",
+    "%d %b %Y %H:%M:%S", "%b %d %Y %H:%M:%S",
+    "%d %B %Y %H:%M:%S", "%B %d %Y %H:%M:%S",
+    "%d-%b-%Y %H:%M:%S", "%d %b %Y", "%b %d %Y",
+    "%a %b %d %H:%M:%S %Y", "%a, %d %b %Y %H:%M:%S",
+    "%m/%d/%Y %I:%M:%S %p", "%Y-%m-%d %I:%M:%S %p",
+]
+
+_ORDINAL_CLEANUPS = [
+    (" at ", " "), ("st,", ","), ("nd,", ","), ("rd,", ","), ("th,", ","),
+    ("st ", " "), ("nd ", " "), ("rd ", " "), ("th ", " "),
+]
+
+
+def _parse_one_auto(text):
+    """Per-cell slow path for values the vectorized pass could not parse:
+    dateutil → fuzzy extraction → explicit formats → unix epoch."""
+    from dateutil import parser as _du
+
+    t = str(text).strip()
+    if not t:
+        return pd.NaT
+    try:
+        return pd.Timestamp(_du.parse(t))
+    except (ValueError, OverflowError):
+        pass
+    for rx in _FUZZY_DATETIME_PATTERNS:
+        m = rx.search(t)
+        if not m:
+            continue
+        cleaned = m.group(0)
+        for old, new in _ORDINAL_CLEANUPS:
+            cleaned = cleaned.replace(old, new)
+        try:
+            return pd.Timestamp(_du.parse(cleaned))
+        except (ValueError, OverflowError):
+            pass
+        for fmt in _EXTRACTED_FORMATS:
+            try:
+                return pd.Timestamp(datetime.strptime(cleaned, fmt))
+            except ValueError:
+                pass
+        break
+    for fmt in _FALLBACK_FORMATS:
+        try:
+            return pd.Timestamp(datetime.strptime(t, fmt))
+        except ValueError:
+            pass
+    # unix timestamps (the reference's chrono '%s' / '%s%.f' arms)
+    if re.fullmatch(r"-?\d{9,11}", t):
+        return pd.Timestamp(int(t), unit="s")
+    if re.fullmatch(r"-?\d{9,11}\.\d+", t):
+        return pd.Timestamp(float(t), unit="s")
+    return pd.NaT
+
+
+def _parse_auto(s: pd.Series) -> pd.Series:
+    parsed = pd.to_datetime(s, format="mixed", errors="coerce")
+    bad = parsed.isna() & s.notna() & (s.astype(str).str.strip() != "")
+    if bad.any():
+        parsed = parsed.copy()
+        parsed.loc[bad] = s[bad].map(_parse_one_auto)
+    return parsed
 
 
 def _validate_tz(name: str, which: str) -> None:
@@ -49,35 +151,42 @@ def changetz(
         ``2023-01-01T12:00:00.000000+00:00`` (changetz.rs:186-191);
       - ``--ambiguous earliest`` resolves fall-back overlap to the first
         (DST) occurrence, ``latest`` to the second (standard) occurrence;
-      - spring-forward wall times outside the gap parse normally; times in
-        the gap shift forward (pandas ``nonexistent='shift_forward'``).
+      - spring-forward wall times outside the gap parse normally; times
+        INSIDE the gap do not exist and become null (chrono
+        ``LocalResult::None`` → ``None`` in changetz.rs:244-252);
+      - unparseable non-empty cells become null, empty cells stay empty
+        (changetz.rs:236-239).
 
     input/output formats are strftime-style (the reference uses chrono's
-    strftime dialect). input_format=None → pandas mixed-format auto parse
-    (the reference's dtparse+fallback ladder, changetz.rs:26-96).
+    strftime dialect). input_format=None or "auto" → the full auto-parse
+    ladder (vectorized mixed-format pass + the reference's fuzzy-regex
+    extraction and ~25 fallback formats, changetz.rs:9-145).
     """
     require_columns(df, [column])
     _validate_tz(from_tz, "source")
     _validate_tz(to_tz, "target")
     out_fmt = output_format or _DEFAULT_OUT_FMT
     amb_flag = ambiguous == "earliest"  # pandas: True = DST (first occurrence)
+    auto = input_format in (None, "auto")
 
     @F.pandas_udf(T.StringType())
     def _changetz(s: pd.Series) -> pd.Series:
-        parsed = pd.to_datetime(
-            s, format=input_format or "mixed", errors="coerce"
-        )
+        if auto:
+            parsed = _parse_auto(s)
+        else:
+            parsed = pd.to_datetime(s, format=input_format, errors="coerce")
         src = None if from_tz == "local" else from_tz
-        localized = parsed.dt.tz_localize(
-            src, ambiguous=amb_flag, nonexistent="shift_forward"
-        )
+        localized = parsed.dt.tz_localize(src, ambiguous=amb_flag, nonexistent="NaT")
         converted = localized.dt.tz_convert(to_tz)
         if out_fmt == _DEFAULT_OUT_FMT:
             txt = converted.dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
             txt = txt.str.replace(r"([+-]\d{2})(\d{2})$", r"\1:\2", regex=True)
         else:
             txt = converted.dt.strftime(out_fmt)
-        return txt.where(parsed.notna(), s)  # unparseable cells pass through
+        # reference parity: unparseable / nonexistent → null (strftime of
+        # NaT is already NaN); empty input cells stay empty strings
+        empty = s.notna() & (s.astype(str).str.strip() == "")
+        return txt.where(~empty, "")
 
     return df.withColumn(column, _changetz(F.col(column).cast("string")))
 

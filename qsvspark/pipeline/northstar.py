@@ -209,6 +209,7 @@ class NorthStarPipeline:
         num_sources: int = 20,
         num_sinks: int = 4,
         salted: bool = False,
+        salt_buckets: int = 32,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -217,6 +218,7 @@ class NorthStarPipeline:
         self.num_sources = num_sources
         self.num_sinks = num_sinks
         self.salted = salted
+        self.salt_buckets = salt_buckets
 
     def _config_fp(self, input_fingerprint: str, stage: str) -> str:
         return (
@@ -244,8 +246,17 @@ class NorthStarPipeline:
             t0 = time.time()
             parsed = parse_stage(tokens, self.parse_mode)
             enriched = enrich_stage(parsed, dim)
+            # Size write tasks to the cluster, not to the input split
+            # count: partitionBy(sink) emits (tasks × sinks) files, so
+            # letting 100k input splits each write 4 sink files is the
+            # classic small-files anti-pattern — tiny row groups, a
+            # commit protocol moving 400k files, and per-task overhead
+            # that caps scaling. coalesce (narrow, no shuffle) only ever
+            # REDUCES partition count, so when the input has fewer
+            # splits than 2×cores it is a no-op.
+            target = 2 * self.spark.sparkContext.defaultParallelism
             route_manifest = self.catalog.write(
-                enriched,
+                enriched.coalesce(max(target, 1)),
                 "routed",
                 input_fingerprint=routed_fp,
                 lineage={
@@ -261,14 +272,21 @@ class NorthStarPipeline:
         metrics["per_sink_counts"] = route_manifest["partition_counts"]
         metrics["rows"] = route_manifest["row_count"]
 
-        agg_fp = self._config_fp(input_fingerprint, f"aggregate|salted={self.salted}")
+        # salt config in the fingerprint: toggling --salted (or the bucket
+        # count) must NOT resume from the other mode's committed snapshot
+        agg_fp = self._config_fp(
+            input_fingerprint,
+            f"aggregate|salted={self.salted}|sb={self.salt_buckets if self.salted else 0}",
+        )
         snap = self.catalog.find_committed("aggregates", agg_fp)
         if snap:
             metrics["resumed"].append("aggregate")
         else:
             t0 = time.time()
-            agg_fn = aggregate_stage_salted if self.salted else aggregate_stage
-            aggs = agg_fn(routed, self.bucket_width)
+            if self.salted:
+                aggs = aggregate_stage_salted(routed, self.bucket_width, self.salt_buckets)
+            else:
+                aggs = aggregate_stage(routed, self.bucket_width)
             self.catalog.write(
                 aggs,
                 "aggregates",

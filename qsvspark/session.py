@@ -76,6 +76,21 @@ def get_spark(
             ),
         )
     )
+    # Reference env knobs (csv.rs:13-76), applied through their Spark
+    # equivalents (full mapping table in README §Memory-control surface):
+    # QSV_CHUNK_SIZE bounds rows per batch crossing an engine boundary —
+    # here the Arrow JVM↔Python batch; QSV_MEMORY_LIMIT_MB bounds the
+    # process ceiling — here the driver JVM heap (local mode's only JVM;
+    # on a cluster set executor memory in spark-submit instead).
+    if os.environ.get("QSV_CHUNK_SIZE"):
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ["QSV_CHUNK_SIZE"],
+        )
+    if os.environ.get("QSV_MEMORY_LIMIT_MB"):
+        builder = builder.config(
+            "spark.driver.memory", f"{os.environ['QSV_MEMORY_LIMIT_MB']}m"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

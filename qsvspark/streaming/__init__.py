@@ -1,3 +1,4 @@
 from qsvspark.streaming.ingest import routed_stream, run_available_now
+from qsvspark.streaming.stateful import dedup_stream_exact
 
-__all__ = ["routed_stream", "run_available_now"]
+__all__ = ["routed_stream", "run_available_now", "dedup_stream_exact"]

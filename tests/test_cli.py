@@ -44,6 +44,26 @@ class TestParser:
         c = parse_commands(["grep", "pat", "-i", "-v"])[0]
         assert c.options == {"-i": True, "-v": True}
 
+    def test_missing_positional_is_usage_error(self):
+        # 'load f.csv - select' must raise the CLI error type (exit 1 +
+        # "Error: ..." in main), never a bare IndexError traceback
+        for argv in (["load", "f.csv", "-", "select"],
+                     ["load", "f.csv", "-", "sed", "x"],
+                     ["load", "f.csv", "-", "renamecol", "only_one"],
+                     ["load"]):
+            with pytest.raises(InvalidArgumentError, match="requires at least"):
+                validate(parse_commands(argv))
+
+    def test_missing_required_options(self):
+        with pytest.raises(InvalidArgumentError, match="requires option"):
+            validate(parse_commands(["load", "f.csv", "-", "pivot", "--rows", "r"]))
+        with pytest.raises(InvalidArgumentError, match="requires option"):
+            validate(parse_commands(["load", "f.csv", "-", "changetz", "dt"]))
+
+    def test_finalizer_must_end_chain(self):
+        with pytest.raises(InvalidArgumentError, match="must be the last"):
+            validate(parse_commands(["load", "f.csv", "-", "show", "-", "sort", "c"]))
+
     def test_negative_values_not_options(self):
         c = parse_commands(["isin", "col", "-1,5"])[0]
         assert c.args == ["col", "-1,5"]

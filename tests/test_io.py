@@ -78,10 +78,33 @@ class TestSinks:
         assert text.splitlines()[0] == "datetime,col1,col2,col3,str"
         assert text.splitlines()[1] == "2023-01-01 12:00:00,1,2,3,foo"
 
-    def test_showtable_shape(self, simple_df):
+    def test_showtable_box_golden(self, simple_df):
+        # reference golden: tests/test_finalizers_showtable.py:6-24
         buf = io.StringIO()
         text = Q(simple_df).showtable(file=buf)
-        assert text.startswith("shape: (3, 5)")
+        assert text == "\n".join([
+            "shape: (3, 5)",
+            "┌─────────────────────┬──────┬──────┬──────┬─────┐",
+            "│ datetime            ┆ col1 ┆ col2 ┆ col3 ┆ str │",
+            "╞═════════════════════╪══════╪══════╪══════╪═════╡",
+            "│ 2023-01-01 12:00:00 ┆ 1    ┆ 2    ┆ 3    ┆ foo │",
+            "├╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌┤",
+            "│ 2023-01-01 13:00:00 ┆ 4    ┆ 5    ┆ 6    ┆ bar │",
+            "├╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌╌┼╌╌╌╌╌┤",
+            "│ 2023-01-01 14:00:00 ┆ 7    ┆ 8    ┆ 9    ┆ baz │",
+            "└─────────────────────┴──────┴──────┴──────┴─────┘",
+        ]) + "\n"
+
+    def test_showtable_truncation_no_full_scan(self, spark):
+        """>8 rows: '8+' shape header + ⋮ row — only limit(9) collected,
+        never a full count (showtable.rs:11-42,67-74)."""
+        df = spark.range(20).selectExpr("cast(id as string) AS v")
+        buf = io.StringIO()
+        text = Q(df).showtable(file=buf)
+        lines = text.splitlines()
+        assert lines[0] == "shape: (8+, 1) [showing first 8 rows]"
+        assert "⋮" in lines[-2]
+        assert sum(1 for l in lines if l.startswith("│")) == 10  # header+8+⋮
 
     def test_headers(self, simple_df, capsys):
         assert Q(simple_df).headers(plain=True) == [
@@ -122,7 +145,23 @@ class TestSinks:
         assert foo.count() == 1
 
     def test_sanitize_key(self):
-        assert sanitize_key("a/b:c d") == "a_b_c_d"
+        # reference charset (partition.rs:107-119): path/shell specials
+        # and control chars → '_'; spaces KEPT, result trimmed
+        assert sanitize_key("a/b:c d") == "a_b_c d"
+        assert sanitize_key('x*?"<>|y') == "x______y"
+        assert sanitize_key("  padded  ") == "padded"
+
+    def test_partition_per_key_files(self, spark, simple_df, tmp_path):
+        """Reference CLI contract: one <sanitized_value>.csv per key
+        (partition.rs:34), produced from the distributed partitioned
+        write + driver-side merge."""
+        out = str(tmp_path / "per_key")
+        Q(simple_df).partition("str", out, fmt="csv", per_key_files=True)
+        assert sorted(os.listdir(out)) == ["bar.csv", "baz.csv", "foo.csv"]
+        foo = open(os.path.join(out, "foo.csv")).read().splitlines()
+        assert foo[0] == "datetime,col1,col2,col3,str"
+        assert foo[1] == "2023-01-01 12:00:00,1,2,3,foo"
+        assert len(foo) == 2
 
     def test_showquery_plan(self, simple_df):
         text = Q(simple_df).select("col1").showquery()

@@ -71,6 +71,49 @@ class TestChangetz:
             "2023-03-12T10:30:00.000000+00:00",
         ]
 
+    def test_auto_parse_ladder(self, spark):
+        """The reference's auto ladder (changetz.rs:9-145): flexible
+        parse, fuzzy extraction from free text, explicit fallback
+        formats, unix epoch — exercised through UTC→UTC identity."""
+        cases = [
+            ("January 15th, 2023 at 2:30 PM", "2023-01-15 14:30:00"),
+            ("Meeting on March 5th, 2023 at 9:15 AM was moved", "2023-03-05 09:15:00"),
+            ("Jan 15, 2023 2:30 PM", "2023-01-15 14:30:00"),
+            ("1/15/2023 2:30 PM", "2023-01-15 14:30:00"),
+            ("Friday Jan 13 2023 9:00 AM", "2023-01-13 09:00:00"),
+            ("15-Jan-2023 14:30:25", "2023-01-15 14:30:25"),
+            ("Mon Jan 15 14:30:25 2023", "2023-01-15 14:30:25"),
+            ("1674659425", "2023-01-25 15:10:25"),  # unix epoch seconds
+            ("2023-01-15T14:30:00.250000", "2023-01-15 14:30:00"),
+        ]
+        df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "dt"])
+        got = {
+            r["i"]: r["dt"]
+            for r in Q(df).changetz(
+                "dt", "UTC", "UTC", input_format="auto",
+                output_format="%Y-%m-%d %H:%M:%S",
+            ).df.collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, f"case {i}: {cases[i][0]!r} -> {got[i]!r}"
+
+    def test_unparseable_null_empty_kept_gap_null(self, spark):
+        """Reference parity: unparseable → null, empty → empty
+        (changetz.rs:236-239); a true DST-gap wall time (2023-03-12
+        02:30 America/Los_Angeles does not exist) → null
+        (LocalResult::None, changetz.rs:244-252)."""
+        df = spark.createDataFrame(
+            [(0, "not a datetime at all"), (1, ""), (2, "2023-03-12 02:30:00")],
+            ["i", "dt"],
+        )
+        got = {
+            r["i"]: r["dt"]
+            for r in Q(df).changetz("dt", "America/Los_Angeles", "UTC").df.collect()
+        }
+        assert got[0] is None
+        assert got[1] == ""
+        assert got[2] is None
+
     def test_invalid_tz_raises(self, simple_df):
         with pytest.raises(InvalidArgumentError, match="Invalid source timezone"):
             Q(simple_df).changetz("datetime", "Invalid/Timezone", "UTC")

@@ -78,3 +78,45 @@ class TestStreamingIngest:
             .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert streamed == direct
+
+
+class TestStatefulDedup:
+    def _drain(self, spark, inp, out, ckpt):
+        from qsvspark.streaming import dedup_stream_exact
+        from qsvspark.streaming.ingest import TOKENS_DDL
+
+        stream = spark.readStream.schema(TOKENS_DDL).format("parquet").load(inp + "/*/")
+        q = (
+            dedup_stream_exact(stream, key_cols=["doc_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_cross_batch_dedup_with_restart(self, spark, tmp_path):
+        """applyInPandasWithState keep-first across micro-batches AND
+        across restarts (state persisted in the checkpoint): batch1 has
+        3 distinct ids ×2 copies, batch2 repeats one id, a post-restart
+        batch3 repeats another + adds a new one."""
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+        def write_batch(name, ids):
+            df = spark.createDataFrame(
+                [(f"doc-{i}", [1, 2], 2, "src00") for i in ids],
+                "doc_id string, tokens array<int>, n_tok int, source string",
+            )
+            df.coalesce(1).write.parquet(os.path.join(inp, name))
+
+        write_batch("batch1", [0, 0, 1, 1, 2, 2])
+        write_batch("batch2", [2])
+        self._drain(spark, inp, out, ckpt)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == ["doc-0", "doc-1", "doc-2"]
+
+        write_batch("batch3", [1, 3])
+        self._drain(spark, inp, out, ckpt)  # restart, same checkpoint
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == ["doc-0", "doc-1", "doc-2", "doc-3"]
