@@ -53,7 +53,7 @@ SCALE_ROWS = int(os.environ.get("QSVSPARK_BENCH_SCALE_ROWS", "4000000"))
 # the slow rep can safely finish. Override with a fixed row count via
 # QSVSPARK_BENCH_SCALING_ROWS.
 SCALING_ROWS_FIXED = int(os.environ.get("QSVSPARK_BENCH_SCALING_ROWS", "0"))
-TARGET_LO_SECONDS = int(os.environ.get("QSVSPARK_BENCH_TARGET_LO_SECONDS", "240"))
+TARGET_LO_SECONDS = int(os.environ.get("QSVSPARK_BENCH_TARGET_LO_SECONDS", "300"))
 N_INPUT_FILES = 64  # _materialize_input writes 64 equal range slices
 SKIP_SCALING = os.environ.get("QSVSPARK_BENCH_SKIP_SCALING", "") == "1"
 # best-of-3: run-to-run variance on this virtualized box is ±30% on
@@ -374,7 +374,7 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     primary = out["pairs"].get(f"{lo}v{hi}")
     if primary:
         out["pair"] = (f"{lo} vs {hi} cores (process tree pinned via taskset;"
-                       " interleaved rep pairs, median ratio)")
+                       " interleaved reps, ratio of per-level minima)")
         out["scaling_efficiency"] = primary["scaling_efficiency"]
         out["counts_match"] = primary["counts_match"]
     return out

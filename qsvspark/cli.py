@@ -309,9 +309,13 @@ def _apply(q, c: Command, out):
         return q.convert(a[0], _opt(c, "--from"), _opt(c, "--to"))
     # finalizers
     if name == "show":
+        rows = None
         if "--batch-size" in c.options:
-            parse_batch_size(c.options["--batch-size"])  # validate only
-        q.show(file=out)
+            # reference batch size is BYTES (1MB-10GB, command.rs:721-778);
+            # map to a driver-slice row count assuming ~256B/CSV row so the
+            # stream holds one slice, not the table
+            rows = max(1000, parse_batch_size(c.options["--batch-size"]) // 256)
+        q.show(file=out, batch_size=rows)
         return q
     if name == "showtable":
         q.showtable(file=out)

@@ -118,8 +118,8 @@ class Q:
 
     # -- finalizers ------------------------------------------------------
 
-    def show(self, file=None) -> str:
-        return sinks.show(self.df, file=file)
+    def show(self, file=None, batch_size: int | None = None) -> str:
+        return sinks.show(self.df, file=file, batch_size=batch_size)
 
     def showtable(self, max_rows: int = 8, file=None) -> str:
         return sinks.showtable(self.df, max_rows, file=file)

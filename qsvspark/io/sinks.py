@@ -22,16 +22,38 @@ from pyspark.sql import types as T
 from qsvspark.ops.helpers import require_columns
 
 
-def show(df: DataFrame, file=None, header: bool = True) -> str:
-    """Collect → CSV to stdout (header always).
-    Reference: finalizers/show.rs:6-123. The reference streams batches by
-    re-running the plan per slice (O(batches × plan)); a single toPandas
-    (Arrow) collect replaces that. For data too big to print, use dump."""
+def show(
+    df: DataFrame, file=None, header: bool = True, batch_size: int | None = None
+) -> str:
+    """CSV to stdout (header always). Reference: finalizers/show.rs:6-123.
+
+    Default: one Arrow collect (toPandas) — fine for printable sizes.
+    batch_size set: STREAM the result through the driver in bounded
+    slices via toLocalIterator, which pulls one partition at a time so
+    driver memory is O(partition), never O(table). The reference gets
+    the same bound by re-running the whole plan per slice (show.rs:44-81,
+    O(batches × plan)); Spark runs the plan once and ships partitions
+    incrementally."""
+    out = file or sys.stdout
+    if batch_size:
+        import csv as _csv
+
+        w = _csv.writer(out, lineterminator="\n")
+        if header:
+            w.writerow(df.columns)
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(tuple(row))
+            if len(buf) >= batch_size:
+                w.writerows(buf)
+                buf.clear()
+        w.writerows(buf)
+        return ""  # streamed — not buffered into a return string
     pdf = df.toPandas()
     buf = _io.StringIO()
     pdf.to_csv(buf, index=False, header=header)
     text = buf.getvalue()
-    (file or sys.stdout).write(text)
+    out.write(text)
     return text
 
 

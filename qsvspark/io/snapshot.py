@@ -113,6 +113,7 @@ class SnapshotCatalog:
         lineage: dict | None = None,
         partition_by: str | None = None,
         count_by: str | None = None,
+        compression: str = "snappy",
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -143,7 +144,7 @@ class SnapshotCatalog:
         )
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(data_dir, compression="snappy")
+        writer.parquet(data_dir, compression=compression)
         total = obs.get["rows"]
 
         spark = df.sparkSession

@@ -11,7 +11,7 @@ without any shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qsvspark.ops.helpers import require_columns, resolve_colspec
@@ -54,20 +54,17 @@ def head(df: DataFrame, n: int = 5) -> DataFrame:
 def tail(df: DataFrame, n: int = 5) -> DataFrame:
     """Last N rows in ingest order. Reference: chainables/tail.rs:3-6.
 
-    Spark has no lazy tail; we rank by a scan-order id and keep the top-N
-    descending, then restore ascending order. The window is unpartitioned —
-    fine for the CLI-parity use (N is small); at 100 TB ``tail`` over an
-    unordered table is not meaningful, and time-ordered variants should
-    sort on a real column instead.
+    ``monotonically_increasing_id`` encodes (partition_id << 33) + row
+    position, so it is monotone in scan order; last-N = top-N by that id
+    descending, which Catalyst executes as TakeOrderedAndProject — a
+    per-partition top-N + driver merge of N×partitions candidates. Fully
+    distributed: no single-partition window, no global sort, works at any
+    table size (the old implementation ranked through an unpartitioned
+    window — one executor ordering the whole table).
     """
     with_id = df.withColumn(_ORDER, F.monotonically_increasing_id())
-    w = Window.orderBy(F.col(_ORDER).desc())
-    return (
-        with_id.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= n)
-        .orderBy(_ORDER)
-        .drop(_ORDER, "__rn__")
-    )
+    last = with_id.orderBy(F.col(_ORDER).desc()).limit(n)
+    return last.orderBy(_ORDER).drop(_ORDER)
 
 
 def uniq(df: DataFrame, stable: bool = True) -> DataFrame:

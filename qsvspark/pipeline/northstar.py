@@ -32,6 +32,7 @@ fingerprint; a rerun finds committed snapshots and skips the work
 
 from __future__ import annotations
 
+import os
 import time
 
 import pandas as pd
@@ -210,6 +211,8 @@ class NorthStarPipeline:
         num_sinks: int = 4,
         salted: bool = False,
         salt_buckets: int = 32,
+        route_tasks_per_core: int | None = None,
+        codec: str | None = None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -219,6 +222,14 @@ class NorthStarPipeline:
         self.num_sinks = num_sinks
         self.salted = salted
         self.salt_buckets = salt_buckets
+        # write-task granularity (× cores) and parquet codec for the
+        # routed sink: finer tasks shrink the last-wave straggler tail at
+        # the cost of more output files; zstd trades write bandwidth for
+        # CPU (which scales with cores — bandwidth does not)
+        self.route_tasks_per_core = route_tasks_per_core or int(
+            os.environ.get("QSVSPARK_ROUTE_TASKS_PER_CORE", "4")
+        )
+        self.codec = codec or os.environ.get("QSVSPARK_ROUTE_CODEC", "snappy")
 
     def _config_fp(self, input_fingerprint: str, stage: str) -> str:
         return (
@@ -254,7 +265,7 @@ class NorthStarPipeline:
             # that caps scaling. coalesce (narrow, no shuffle) only ever
             # REDUCES partition count, so when the input has fewer
             # splits than 2×cores it is a no-op.
-            target = 2 * self.spark.sparkContext.defaultParallelism
+            target = self.route_tasks_per_core * self.spark.sparkContext.defaultParallelism
             route_manifest = self.catalog.write(
                 enriched.coalesce(max(target, 1)),
                 "routed",
@@ -266,6 +277,7 @@ class NorthStarPipeline:
                 },
                 partition_by="sink",
                 count_by="sink",
+                compression=self.codec,
             )
             metrics["stages"]["route"] = round(time.time() - t0, 3)
             routed = self.catalog.read(self.spark, "routed")

@@ -78,6 +78,14 @@ class TestSinks:
         assert text.splitlines()[0] == "datetime,col1,col2,col3,str"
         assert text.splitlines()[1] == "2023-01-01 12:00:00,1,2,3,foo"
 
+    def test_show_batched_stream_matches_default(self, simple_df):
+        """--batch-size path: toLocalIterator slices, identical bytes to
+        the single-collect path."""
+        base = Q(simple_df).show(file=io.StringIO())
+        buf = io.StringIO()
+        Q(simple_df).show(file=buf, batch_size=2)
+        assert buf.getvalue() == base
+
     def test_showtable_box_golden(self, simple_df):
         # reference golden: tests/test_finalizers_showtable.py:6-24
         buf = io.StringIO()

@@ -1,0 +1,99 @@
+"""Physical-plan quality gates — the properties that make operators
+survive a 100× scale-up. Each test pins a plan shape that a regression
+(e.g. an expression change breaking pushdown, a join degrading to a
+nested loop) would silently lose while row-level results stay correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qsvspark import Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(os.path.join(SF, "events.parquet"))
+
+
+class TestPushdownAndPruning:
+    def test_isin_numeric_reaches_parquet_scan(self, lineitem):
+        """String-compare isin over an int column is rewritten to a
+        native IN so the predicate lands in PushedFilters, pruning row
+        groups at the scan instead of post-filtering every row."""
+        plan = plan_of(Q(lineitem).isin("l_linenumber", ["1", "7"]).df)
+        assert "PushedFilters: [In(l_linenumber" in plan
+
+    def test_timeslice_typed_ts_pushdown(self, events):
+        plan = plan_of(
+            Q(events).timeslice("ts", start="2024-01-03 00:00:00",
+                                end="2024-01-05 12:00:00").df
+        )
+        assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+
+    def test_select_prunes_read_schema(self, lineitem):
+        plan = plan_of(Q(lineitem).select("l_orderkey,l_returnflag").df)
+        read = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read and "l_comment" not in read[0] and "l_quantity" not in read[0]
+
+    def test_filters_stay_in_codegen(self, lineitem):
+        # the `*` prefix marks operators inside a WholeStageCodegen span;
+        # a regression to a non-codegen filter (e.g. a Python UDF sneaking
+        # into the hot path) loses the star and adds a BatchEvalPython
+        df = Q(lineitem).contains("l_returnflag", "A").df
+        assert "* Filter" in plan_of(df)
+        assert "Python" not in plan_of(df)
+
+
+class TestJoinStrategies:
+    def test_enrich_is_broadcast(self, spark, events):
+        from qsvspark.pipeline.northstar import enrich_stage, parse_stage
+        from qsvspark.pipeline.tokens import source_dim, synth_tokens
+
+        tok = synth_tokens(spark, 100)
+        plan = plan_of(enrich_stage(parse_stage(tok, "native"), source_dim(spark)))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_lsh_near_dup_never_nested_loop(self, spark):
+        from qsvspark.functions import embedding_near_dups_lsh
+
+        emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        plan = plan_of(embedding_near_dups_lsh(emb, threshold=0.5, dim=64))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sort_head_is_take_ordered(self, lineitem):
+        plan = plan_of(Q(lineitem).sort("l_extendedprice", desc=True).head(10).df)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_tail_is_take_ordered_not_window(self, lineitem):
+        """tail must never rank through an unpartitioned window (one
+        executor ordering the whole table)."""
+        plan = plan_of(Q(lineitem).tail(3).df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+
+
+class TestAggregation:
+    def test_count_has_partial_aggregation(self, lineitem):
+        plan = plan_of(Q(lineitem).select("l_returnflag").count().df, "simple")
+        # two HashAggregates = map-side partial + final (heavy keys
+        # collapse before the shuffle)
+        assert plan.count("HashAggregate") >= 2
