@@ -68,10 +68,13 @@ _FALLBACK_FORMATS = [
     "%m/%d/%Y %I:%M:%S %p", "%Y-%m-%d %I:%M:%S %p",
 ]
 
-_ORDINAL_CLEANUPS = [
-    (" at ", " "), ("st,", ","), ("nd,", ","), ("rd,", ","), ("th,", ","),
-    ("st ", " "), ("nd ", " "), ("rd ", " "), ("th ", " "),
-]
+# Ordinal suffixes are stripped only when they FOLLOW a digit ("15th" →
+# "15"). The reference does blind substring replaces (changetz.rs:110-118,
+# `.replace("st ", " ")` etc.), which mangles "August 1" → "Augu 1" and
+# breaks every fuzzy extraction containing August — a reference bug we
+# deliberately do not reproduce.
+_ORDINAL_RE = re.compile(r"(?<=\d)(?:st|nd|rd|th)\b", re.IGNORECASE)
+_AT_RE = re.compile(r"\s+at\s+")
 
 
 def _parse_one_auto(text):
@@ -90,9 +93,7 @@ def _parse_one_auto(text):
         m = rx.search(t)
         if not m:
             continue
-        cleaned = m.group(0)
-        for old, new in _ORDINAL_CLEANUPS:
-            cleaned = cleaned.replace(old, new)
+        cleaned = _AT_RE.sub(" ", _ORDINAL_RE.sub("", m.group(0)))
         try:
             return pd.Timestamp(_du.parse(cleaned))
         except (ValueError, OverflowError):
