@@ -53,7 +53,12 @@ SCALE_ROWS = int(os.environ.get("QSVSPARK_BENCH_SCALE_ROWS", "4000000"))
 # the slow rep can safely finish. Override with a fixed row count via
 # QSVSPARK_BENCH_SCALING_ROWS.
 SCALING_ROWS_FIXED = int(os.environ.get("QSVSPARK_BENCH_SCALING_ROWS", "0"))
-TARGET_LO_SECONDS = int(os.environ.get("QSVSPARK_BENCH_TARGET_LO_SECONDS", "300"))
+# ~600 s at the low level: long enough that per-job fixed overhead
+# (JVM scheduling, snapshot commits — ~10 s) is <2% of the measurement
+# (a 1.56M-row sizing produced 30 s hi-level reps and a 0.72 "efficiency"
+# that was really overhead+noise), short enough for a 4× margin under the
+# low level's WORKER_TIMEOUT×4 fence
+TARGET_LO_SECONDS = int(os.environ.get("QSVSPARK_BENCH_TARGET_LO_SECONDS", "600"))
 N_INPUT_FILES = 64  # _materialize_input writes 64 equal range slices
 SKIP_SCALING = os.environ.get("QSVSPARK_BENCH_SKIP_SCALING", "") == "1"
 # best-of-3: run-to-run variance on this virtualized box is ±30% on
@@ -65,8 +70,10 @@ REPS = int(os.environ.get("QSVSPARK_BENCH_REPS", "3"))
 # skipped — the bench always emits its final JSON line.
 WORKER_TIMEOUT = int(os.environ.get("QSVSPARK_BENCH_WORKER_TIMEOUT", "600"))
 # hard wall-clock budget for the whole scaling section; remaining reps
-# are skipped (and noted) once it is exhausted
-SCALING_BUDGET = int(os.environ.get("QSVSPARK_BENCH_SCALING_BUDGET", "2400"))
+# are skipped (and noted) once it is exhausted. Sized for 3 interleaved
+# (hi, lo) pairs at TARGET_LO_SECONDS plus the extra hi reps and the
+# informational 8v32 pair.
+SCALING_BUDGET = int(os.environ.get("QSVSPARK_BENCH_SCALING_BUDGET", "5400"))
 
 HEADLINE = [
     "select", "isin_numeric", "grep", "sed", "sort_head", "uniq", "count",
@@ -185,22 +192,51 @@ def _one_rep(
     cores: int, rows: int, input_path: str, n_files: int,
     timeout: float, errors: list, tag: str,
 ) -> dict | None:
-    """Run one fenced worker rep; any failure is recorded and returns None."""
+    """Run one fenced worker rep; any failure is recorded and returns None.
+
+    The worker runs in its own process group and the WHOLE group is
+    killed on timeout — subprocess.run's timeout only kills the direct
+    child (taskset), leaving the JVM grandchild alive to eat cores and
+    contaminate every later rep. A timed-out worker's partial stdout is
+    still parsed: the worker prints its result line BEFORE spark.stop(),
+    so a JVM that hangs on shutdown (observed: a 45 s job blowing a
+    600 s fence) does not lose an already-finished measurement.
+    """
+    import signal
+
+    stdout = ""
     try:
-        r = subprocess.run(
+        p = subprocess.Popen(
             _worker_cmd(cores, rows, input_path, n_files),
-            capture_output=True, text=True, timeout=timeout,
-            env=_worker_env(cores),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_worker_env(cores), start_new_session=True,
         )
-    except subprocess.TimeoutExpired:
-        errors.append(f"{tag} timed out after {int(timeout)}s")
-        return None
+        try:
+            stdout, stderr = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            try:
+                # process group is dead; this reaps and returns whatever
+                # the worker had already written (docs: retrying
+                # communicate after a timeout loses no output)
+                stdout, _ = p.communicate(timeout=10)
+            except Exception:  # noqa: BLE001
+                stdout = ""
+            lines = [l for l in (stdout or "").splitlines() if l.startswith("{")]
+            if lines:  # job finished; only shutdown hung
+                errors.append(f"{tag} JVM shutdown hung (result salvaged)")
+                return json.loads(lines[-1])
+            errors.append(f"{tag} timed out after {int(timeout)}s")
+            return None
     except Exception as e:  # noqa: BLE001 — bench must always emit
         errors.append(f"{tag}: {e!r}"[:300])
         return None
-    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
     if not lines:
-        errors.append(f"{tag} rc={r.returncode}: " + r.stderr[-300:].replace("\n", " "))
+        errors.append(f"{tag} rc={p.returncode}: " + stderr[-300:].replace("\n", " "))
         return None
     return json.loads(lines[-1])
 
@@ -249,6 +285,14 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
             # est lo-core throughput ≈ tput_hi / (baseline/lo) / 0.8(eff guess)
             tput_lo_est = tput_hi * lo_cores / (baseline * 0.8)
             rows = int(TARGET_LO_SECONDS * tput_lo_est)
+            # FLOOR: a small input lets per-job fixed overhead (~10 s)
+            # masquerade as lost scaling (measured 0.72 at 1.56M rows vs
+            # 0.83+ at 4M on the same box). Prefer ≥2M rows whenever the
+            # lo-level fence can still absorb them at half-capacity —
+            # the largest safe input is the best estimator.
+            lo_fence = WORKER_TIMEOUT * max(1, baseline // lo_cores)
+            safe_floor = min(2_000_000, int(tput_lo_est * 0.5 * lo_fence))
+            rows = max(rows, safe_floor)
             out["calibration"] = {
                 "probe_rows": cal_rows, "probe_seconds": cal["seconds"],
                 "probe_sequences_per_sec": tput_hi,
