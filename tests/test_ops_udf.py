@@ -171,3 +171,89 @@ class TestConvert:
     def test_unknown_format_raises(self, json_df):
         with pytest.raises(InvalidArgumentError):
             Q(json_df).convert("json", "json", "toml")
+
+
+class TestChangetzNativePath:
+    """The fixed-format fixed-offset case runs as pure Catalyst
+    expressions (no Python workers); these pin byte-parity with the
+    pandas-UDF path and that the dispatch picks each path correctly."""
+
+    CASES = [
+        ("2023-01-01 12:00:00", ),
+        ("2023-06-15 23:59:59", ),
+        ("not a date", ),
+        ("", ),
+        (None, ),
+    ]
+
+    def _both_paths(self, spark, monkeypatch, **kw):
+        from qsvspark.ops import udf as udfmod
+
+        df = spark.createDataFrame(self.CASES, ["t"])
+        native = Q(df).changetz("t", **kw).df.collect()
+        monkeypatch.setattr(udfmod, "_native_changetz", lambda *a: None)
+        pandas_path = Q(df).changetz("t", **kw).df.collect()
+        return [r["t"] for r in native], [r["t"] for r in pandas_path]
+
+    def test_parity_default_output(self, spark, monkeypatch):
+        n, p = self._both_paths(
+            spark, monkeypatch, from_tz="UTC", to_tz="Asia/Tokyo",
+            input_format="%Y-%m-%d %H:%M:%S",
+        )
+        assert n == p
+        assert n[0] == "2023-01-01T21:00:00.000000+09:00"
+        assert n[2] is None and n[3] == "" and n[4] is None
+
+    def test_parity_custom_output_with_offset(self, spark, monkeypatch):
+        n, p = self._both_paths(
+            spark, monkeypatch, from_tz="Etc/GMT+5", to_tz="UTC",
+            input_format="%Y-%m-%d %H:%M:%S", output_format="%Y/%m/%d %H:%M:%S %z",
+        )
+        assert n == p
+        assert n[0] == "2023/01/01 17:00:00 +0000"
+
+    def test_parity_fraction_input(self, spark, monkeypatch):
+        from qsvspark.ops import udf as udfmod
+
+        df = spark.createDataFrame(
+            [("2023-01-01 12:00:00.123456",), ("2023-01-01 12:00:00",)], ["t"]
+        )
+        kw = dict(from_tz="UTC", to_tz="Etc/GMT-9",
+                  input_format="%Y-%m-%d %H:%M:%S.%f")
+        native = [r["t"] for r in Q(df).changetz("t", **kw).df.collect()]
+        monkeypatch.setattr(udfmod, "_native_changetz", lambda *a: None)
+        pandas_path = [r["t"] for r in Q(df).changetz("t", **kw).df.collect()]
+        assert native == pandas_path
+        assert native[0] == "2023-01-01T21:00:00.123456+09:00"
+        assert native[1] is None  # strict format: missing fraction fails
+
+    def test_dst_zone_keeps_pandas_path(self):
+        from qsvspark.ops.udf import _fixed_offset_seconds, _native_changetz
+
+        assert _fixed_offset_seconds("America/Los_Angeles") is None
+        assert _native_changetz(
+            "t", "America/Los_Angeles", "UTC", "%Y-%m-%d %H:%M:%S", None
+        ) is None
+
+    def test_fixed_offset_detection(self):
+        from qsvspark.ops.udf import _fixed_offset_seconds
+
+        assert _fixed_offset_seconds("UTC") == 0
+        assert _fixed_offset_seconds("Asia/Tokyo") == 9 * 3600
+        assert _fixed_offset_seconds("Etc/GMT+5") == -5 * 3600
+        assert _fixed_offset_seconds("local") is None
+
+    def test_unsupported_directive_falls_back(self):
+        from qsvspark.ops.udf import _native_changetz
+
+        # %s (unix epoch) is outside the shared-parse subset
+        assert _native_changetz("t", "UTC", "UTC", "%s", None) is None
+
+    def test_native_plan_has_no_python(self, spark):
+        df = spark.createDataFrame([("2023-01-01 12:00:00",)], ["t"])
+        q = Q(df).changetz("t", from_tz="UTC", to_tz="Asia/Tokyo",
+                           input_format="%Y-%m-%d %H:%M:%S")
+        plan = q.df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            q.df._jdf.queryExecution(), "simple"
+        )
+        assert "Python" not in plan
