@@ -619,6 +619,59 @@ def q_similarity_ann(spark, sf):
     return out.select("vec_id", F.round("cos", 3).alias("cos_r"))
 
 
+# --- IVF ANN: centroids are trained ONCE per sf_dir by a deterministic
+# pyarrow+numpy Lloyd pass (qsvspark/functions/similarity.py:_lloyd) so
+# the Spark query and the generated DuckDB oracle embed IDENTICAL
+# centroid literals. The driver's value comparison runs at sf0.01
+# (TESTDATA.md); the oracle trains on that path (env-overridable).
+_IVF_N, _IVF_SAMPLE, _IVF_NPROBE = 8, 128, 3
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    if sf_dir not in _IVF_CACHE:
+        from qsvspark.functions.similarity import train_ivf_centroids_from_parquet
+
+        _IVF_CACHE[sf_dir] = train_ivf_centroids_from_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            n_centroids=_IVF_N, sample_n=_IVF_SAMPLE,
+        )
+    return _IVF_CACHE[sf_dir]
+
+
+def q_similarity_ivf(spark, sf):
+    from qsvspark.functions import ivf_topk
+
+    qv = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    out = ivf_topk(
+        _t(spark, sf, "embeddings"), qv, _ivf_centroids(sf), k=10, nprobe=_IVF_NPROBE
+    )
+    return out.select("vec_id", F.round("cos", 3).alias("cos_r"))
+
+
+def _ivf_oracle(k: int = 10) -> str:
+    """DuckDB replica of ivf_topk: per-centroid round-6 cosines →
+    first-index argmax (list_indexof, 1-based like Spark array_position)
+    → probed-cell filter → exact rerank on the query vector."""
+    from qsvspark.functions.similarity import probed_centroids
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids(sf_dir)
+    qv = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    probe = probed_centroids(qv, cents, _IVF_NPROBE)
+    c_sql = ["[" + ", ".join(repr(v) for v in c) + "]::FLOAT[]" for c in cents]
+    sims = "[" + ", ".join(
+        f"round(list_cosine_similarity(embedding, {c}), 6)" for c in c_sql
+    ) + "]"
+    cos6 = f"round(list_cosine_similarity(embedding, {_QV_SQL}), 6)"
+    probe_in = ", ".join(str(p + 1) for p in probe)
+    return (
+        f"SELECT vec_id, round(CAST({cos6} AS DOUBLE), 3) AS cos_r FROM embeddings"
+        f" WHERE list_indexof({sims}, list_aggregate({sims}, 'max')) IN ({probe_in})"
+        f" ORDER BY {cos6} DESC, vec_id LIMIT {k}"
+    )
+
+
 def q_pipeline_parse(spark, sf):
     """North-star parse stage (Arrow-vectorized grok UDF) over a
     documents-derived tokens table; tokens serialized to a string so the
@@ -733,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_ivf": q_similarity_ivf,
         "pipeline_parse": q_pipeline_parse,
         "pipeline_aggregate": q_pipeline_aggregate,
         "pipeline_aggregate_salted": q_pipeline_aggregate_salted,
@@ -974,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         # pipeline value-for-value (recall vs brute force is separately
         # asserted in pytest)
         "similarity_ann": _ann_oracle(),
+        "similarity_ivf": _ivf_oracle(),
         "embedding_near_dups_lsh": _near_dups_lsh_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "frame_sample": _frame_sample_oracle(),

@@ -17,11 +17,19 @@ from qsvspark.functions.dedup import (
     ngram_jaccard,
     simhash,
 )
-from qsvspark.functions.similarity import AnnIndex, brute_force_topk, lsh_ann_topk
+from qsvspark.functions.similarity import (
+    AnnIndex,
+    IvfIndex,
+    brute_force_topk,
+    ivf_topk,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
 
 __all__ = [
     "add_token_counts", "add_quality", "add_lang_id", "add_fingerprint",
     "dedup_exact", "minhash_lsh_pairs", "simhash", "ngram_jaccard",
     "embedding_near_dups", "embedding_near_dups_lsh",
     "brute_force_topk", "lsh_ann_topk", "AnnIndex",
+    "ivf_topk", "train_ivf_centroids", "IvfIndex",
 ]

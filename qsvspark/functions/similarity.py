@@ -108,6 +108,198 @@ def lsh_ann_topk(
     return _rerank_topk(cand, query_vec, k, vec_col, id_col)
 
 
+# --- IVF (inverted-file) ANN — the second scale path ------------------
+#
+# faiss-style recipe re-expressed for Spark: train centroids on a small
+# deterministic sample (bounded driver collect — training data size is
+# fixed regardless of table size), assign every vector to its nearest
+# centroid with a codegen'd argmax expression, and probe only the nprobe
+# nearest centroid cells for a query. With IvfIndex the assignment is
+# computed ONCE and stored as a partition column, so a query is a
+# partition-pruned read of nprobe/n_centroids of the table.
+
+
+def _lloyd(x, n_centroids: int, iters: int) -> list[list[float]]:
+    """Shared float64 Lloyd core: unit-normalize, init from the first
+    n_centroids rows, iterate argmax-cosine assignment / renormalized
+    means. Components are rounded to 6 decimals on output so the
+    centroid LITERALS embedded in Spark expressions and generated oracle
+    SQL are short, stable, and parse to the same value in both engines."""
+    import numpy as np
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = xn[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (xn @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = xn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return [[round(float(v), 6) for v in c] for c in cents]
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_n: int = 256,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic IVF training: the sample_n lowest-id vectors (an
+    order-stable bounded collect — training size is fixed regardless of
+    table size) + Lloyd iterations on the driver. Deterministic given the
+    table contents — reruns and the value oracle see identical centroids."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return _lloyd(x, n_centroids, iters)
+
+
+def train_ivf_centroids_from_parquet(
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_n: int = 256,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Same training, driven by pyarrow instead of a SparkSession —
+    byte-identical centroids (same float64 Lloyd core on the same
+    lowest-id sample). Used where no Spark is available, e.g. generating
+    the DuckDB value oracle for the IVF query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    order = np.argsort(t[id_col].to_numpy(), kind="stable")[:sample_n]
+    vecs = t[vec_col].to_pylist()
+    x = np.array([vecs[i] for i in order], dtype=np.float64)
+    return _lloyd(x, n_centroids, iters)
+
+
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """0-based nearest-centroid id as a codegen'd expression: argmax over
+    the per-centroid cosines, each rounded to 6 decimals so the argmax is
+    reproducible across engines (first index wins ties — DuckDB's
+    list_indexof uses the same rule, which the driver oracle relies on)."""
+    sims = F.array(*[
+        F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])), 6)
+        for c in centroids
+    ])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def probed_centroids(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side: the nprobe centroid ids nearest the query (same
+    round-6 cosine rule as ivf_assign_expr)."""
+    import math as _math
+
+    qn = _math.sqrt(sum(v * v for v in query_vec))
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = _math.sqrt(sum(v * v for v in c))
+        sims.append((round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 6), i))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(i for _, i in sims[:nprobe])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k without a prebuilt index: assign-and-filter
+    in one scan (16 codegen'd dot products per row), exact-rerank the
+    survivors. The ad-hoc path; IvfIndex stores the assignment so
+    repeated queries skip the scan entirely."""
+    probe = probed_centroids(query_vec, centroids, nprobe)
+    cand = df.filter(ivf_assign_expr(vec_col, centroids).isin(*probe))
+    return _rerank_topk(cand, query_vec, k, vec_col, id_col)
+
+
+class IvfIndex:
+    """Build-once persistent IVF index: every vector's nearest-centroid
+    id is computed once and stored in a SnapshotCatalog table PARTITIONED
+    BY centroid, so a query reads exactly the nprobe probed partition
+    directories — nprobe/n_centroids of the data, no scan, no per-row
+    work outside the probed cells. Maps 1:1 to an Iceberg table
+    partitioned by the centroid id on a real cluster."""
+
+    def __init__(self, warehouse: str, table: str = "ivf_index"):
+        from qsvspark.io.snapshot import SnapshotCatalog
+
+        self.catalog = SnapshotCatalog(warehouse)
+        self.table = table
+        self.centroids: list[list[float]] | None = None
+        self.vec_col = "embedding"
+        self.id_col = "vec_id"
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_centroids: int = 16,
+        sample_n: int = 256,
+        input_fingerprint: str = "",
+    ) -> dict:
+        self.vec_col, self.id_col = vec_col, id_col
+        self.centroids = train_ivf_centroids(
+            df, vec_col, id_col, n_centroids=n_centroids, sample_n=sample_n
+        )
+        indexed = df.select(
+            F.col(id_col), F.col(vec_col),
+            ivf_assign_expr(vec_col, self.centroids).alias("centroid"),
+        )
+        return self.catalog.write(
+            indexed,
+            self.table,
+            input_fingerprint=input_fingerprint or f"ivf-{n_centroids}-{sample_n}",
+            lineage={"stages": ["ivf_index_build"], "n_centroids": n_centroids,
+                     "centroids": self.centroids},
+            partition_by="centroid",
+            count_by="centroid",
+        )
+
+    def query(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        if self.centroids is None:
+            raise ValueError("IvfIndex not built (or centroids not loaded)")
+        probe = probed_centroids(query_vec, self.centroids, nprobe)
+        snap = self.catalog.current_snapshot(self.table)
+        if snap is None:
+            raise FileNotFoundError(f"IvfIndex table '{self.table}' not built")
+        data_dir = os.path.join(self.catalog._table_dir(self.table), snap, "data")  # noqa: SLF001
+        dirs = [
+            os.path.join(data_dir, f"centroid={p}")
+            for p in probe
+            if os.path.isdir(os.path.join(data_dir, f"centroid={p}"))
+        ]
+        if not dirs:
+            return _rerank_topk(
+                spark.createDataFrame([], f"{self.id_col} long, {self.vec_col} array<float>"),
+                query_vec, k, self.vec_col, self.id_col,
+            )
+        cand = spark.read.parquet(*dirs)
+        return _rerank_topk(cand, query_vec, k, self.vec_col, self.id_col)
+
+
 class AnnIndex:
     """Build-once persistent LSH-ANN index: signatures are computed ONCE
     and stored with the vectors in a SnapshotCatalog table PARTITIONED BY

@@ -220,3 +220,69 @@ class TestMultimodal:
         except ImportError:
             with pytest.raises(NotImplementedError):
                 decode_image(b"\x00\x01")
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+    @pytest.fixture(scope="class")
+    def centroids(self, emb):
+        from qsvspark.functions import train_ivf_centroids
+
+        return train_ivf_centroids(emb, n_centroids=8, sample_n=128)
+
+    def test_training_is_deterministic(self, emb, centroids):
+        from qsvspark.functions import train_ivf_centroids
+
+        again = train_ivf_centroids(emb, n_centroids=8, sample_n=128)
+        assert again == centroids
+        assert len(centroids) == 8 and len(centroids[0]) == 64
+
+    def test_assignment_partitions_all_rows(self, emb, centroids):
+        from qsvspark.functions.similarity import ivf_assign_expr
+        from pyspark.sql import functions as F
+
+        counts = (emb.select(ivf_assign_expr("embedding", centroids).alias("c"))
+                  .groupBy("c").count().collect())
+        assert sum(r["count"] for r in counts) == emb.count()
+        assert all(0 <= r["c"] < 8 for r in counts)
+
+    def test_ivf_recall_and_exact_subset(self, emb, centroids):
+        from qsvspark.functions import brute_force_topk, ivf_topk
+
+        qv = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+        exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+        approx = ivf_topk(emb, qv, centroids, k=10, nprobe=4).collect()
+        cos = [r["cos"] for r in approx]
+        assert cos == sorted(cos, reverse=True)
+        recall = len(exact & {r["vec_id"] for r in approx}) / 10
+        assert recall >= 0.5
+        # nprobe = all cells → identical to brute force
+        full = [(r["vec_id"], r["cos"]) for r in
+                ivf_topk(emb, qv, centroids, k=10, nprobe=8).collect()]
+        brute = [(r["vec_id"], r["cos"]) for r in
+                 brute_force_topk(emb, qv, k=10).collect()]
+        assert full == brute
+
+    def test_ivf_index_matches_adhoc_and_prunes(self, emb, centroids, tmp_path):
+        """Partition-pruned probe == ad-hoc ivf_topk at the same params,
+        reading only the nprobe probed centroid directories."""
+        import os
+
+        from qsvspark.functions import IvfIndex, ivf_topk
+        from qsvspark.functions.similarity import probed_centroids
+
+        idx = IvfIndex(str(tmp_path))
+        manifest = idx.build(emb, n_centroids=8, sample_n=128)
+        assert manifest["committed"]
+        assert sum(manifest["partition_counts"].values()) == emb.count()
+        qv = list(emb.filter("vec_id = 3").collect()[0]["embedding"])
+        adhoc = [(r["vec_id"], r["cos"]) for r in
+                 ivf_topk(emb, qv, idx.centroids, k=10, nprobe=3).collect()]
+        probed = [(r["vec_id"], r["cos"]) for r in
+                  idx.query(emb.sparkSession, qv, k=10, nprobe=3).collect()]
+        assert probed == adhoc
+        probe = probed_centroids(qv, idx.centroids, 3)
+        assert len(probe) == 3 < len(manifest["partition_counts"])
