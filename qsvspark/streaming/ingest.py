@@ -16,6 +16,7 @@ an Iceberg table — the stage functions don't change.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from qsvspark.pipeline.northstar import enrich_stage, parse_stage
@@ -58,4 +59,35 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation for late-arriving data.
+
+    The watermark bounds state: a window is finalized (and, in append
+    mode, emitted) once event time has advanced `watermark` past its end,
+    and records arriving later than that are DROPPED rather than held
+    forever — the property that keeps an unbounded stream's aggregation
+    state finite at cluster scale. Within the watermark, late records
+    still land in their correct event-time window. The aggregation is
+    the same partial+final HashAggregate Catalyst plans for batch; only
+    the state-store boundary differs.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col), F.col("n"), F.col("sum_value"),
+        )
     )

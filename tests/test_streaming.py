@@ -120,3 +120,117 @@ class TestStatefulDedup:
         self._drain(spark, inp, out, ckpt)  # restart, same checkpoint
         got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
         assert got == ["doc-0", "doc-1", "doc-2", "doc-3"]
+
+
+class TestWatermarkedWindows:
+    """windowed_event_counts: tumbling windows + watermark late-data
+    semantics, driven deterministically with one file per micro-batch."""
+
+    DDL = "event_id long, ts timestamp, event_type string, value double"
+
+    def _write(self, spark, path, rows, mtime):
+        spark.createDataFrame(rows, self.DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # the file source processes oldest-mtime first; pin mtimes so the
+        # micro-batch order (and thus watermark progression) is deterministic
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    def _drain(self, spark, inp, out, ckpt):
+        from qsvspark.streaming import windowed_event_counts
+
+        stream = (
+            spark.readStream.schema(self.DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp + "/*/")
+        )
+        q = (
+            windowed_event_counts(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    def test_late_within_watermark_lands_dropped_beyond(self, spark, tmp_path):
+        """Spark applies the late-record filter with a one-batch watermark
+        lag and finalizes windows at batch end — so the drop manifests for
+        a row whose window was already emitted, and a within-watermark
+        late row joins its open window. Validated progression:
+          b1 (07:30, 10:59)  → watermark advances to 08:59
+          b2 (09:30)         → 07:00 window finalized + emitted
+          b3 (07:45 BEYOND the watermark → dropped;
+              09:45 within it → joins 09:30's open 09:00 window)
+          b4 sentinel 13:30, next drain → 09:00/10:00 windows flushed
+        """
+        import datetime as dt
+
+        t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        self._write(spark, os.path.join(inp, "b1"), [
+            (1, t(7, 30), "view", 1.0),
+            (3, t(10, 59), "click", 4.0),
+        ], mtime=1_700_000_000)
+        self._write(spark, os.path.join(inp, "b2"), [
+            (4, t(9, 30), "view", 8.0),
+        ], mtime=1_700_000_060)
+        self._write(spark, os.path.join(inp, "b3"), [
+            (6, t(7, 45), "view", 32.0),   # beyond watermark: dropped
+            (7, t(9, 45), "view", 2.0),    # within watermark: lands
+        ], mtime=1_700_000_120)
+        first = {
+            (r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+            for r in self._drain(spark, inp, out, ckpt).collect()
+        }
+        # only the 07:00 window is finalized — WITHOUT the dropped 07:45 row
+        assert first == {(7, "view"): (1, 1.0)}
+        # a later sentinel advances the watermark: restart flushes the rest
+        self._write(spark, os.path.join(inp, "b4"), [
+            (8, t(13, 30), "click", 0.5),
+        ], mtime=1_700_000_180)
+        final = {
+            (r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+            for r in self._drain(spark, inp, out, ckpt).collect()
+        }
+        assert final == {
+            (7, "view"): (1, 1.0),      # unchanged: late 07:45 never lands
+            (9, "view"): (2, 10.0),     # 09:30 + within-watermark late 09:45
+            (10, "click"): (1, 4.0),
+        }
+
+    def test_no_late_data_matches_batch_for_closed_windows(self, spark, tmp_path):
+        import datetime as dt
+
+        t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        inp = str(tmp_path / "in")
+        rows = [
+            (i, t(5 + i % 3, 7 * i % 60), ["view", "click"][i % 2], float(i))
+            for i in range(40)
+        ] + [(99, t(12), "view", 0.5)]  # sentinel advances the watermark
+        self._write(spark, os.path.join(inp, "b1"), rows, mtime=1_700_000_000)
+        got = sorted(
+            (r["window_start"], r["event_type"], r["n"], r["sum_value"])
+            for r in self._drain(
+                spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt")
+            ).collect()
+        )
+        batch = spark.createDataFrame(rows, self.DDL)
+        expected = sorted(
+            (r["window_start"], r["event_type"], r["n"], r["sum_value"])
+            for r in (
+                batch.groupBy(
+                    F.window("ts", "1 hour").alias("win"), "event_type"
+                )
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.col("win.start").alias("window_start"),
+                        "event_type", "n", "sum_value")
+                .filter(F.col("window_start") < t(10))  # closed by watermark
+            ).collect()
+        )
+        assert got == expected and len(got) >= 4
