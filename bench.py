@@ -81,6 +81,13 @@ HEADLINE = [
     "changetz", "convert",
 ]
 
+# training-data-pipeline extension ops, timed separately (the headline
+# total stays comparable across rounds / to BASELINE.md §4.1)
+EXTENSIONS = [
+    "dedup_exact", "minhash_pairs", "simhash", "text_quality", "lang_id",
+    "similarity_topk", "similarity_ivf", "multimodal_features",
+]
+
 
 def _fast_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -449,6 +456,32 @@ def main() -> None:
         _log(f"[bench] headline {name}: {timings.get(name, 'ERROR')}")
     total = round(sum(timings.values()), 3)
 
+    ext_timings: dict[str, float] = {}
+    for name in EXTENSIONS:
+        try:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            ext_timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            query_errors[name] = repr(e)[:300]
+        _log(f"[bench] extension {name}: {ext_timings.get(name, 'ERROR')}")
+    # minhash_pairs above runs the md5-60 hash family (slow by design —
+    # it exists so DuckDB can replicate every value); this is the
+    # PRODUCTION family (native xxhash64, same plan shape)
+    try:
+        from qsvspark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        fast = minhash_lsh_pairs(docs, hash_fn="xxhash64", max_bucket_size=64)
+        t0 = time.time()
+        fast.write.format("noop").mode("overwrite").save()
+        ext_timings["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        query_errors["minhash_pairs_xxhash"] = repr(e)[:300]
+    _log(f"[bench] extension minhash_pairs_xxhash: "
+         f"{ext_timings.get('minhash_pairs_xxhash', 'ERROR')}")
+
     # materialize the pipeline inputs ONCE (untimed setup — the north-rule
     # job reads an existing table; generation is not part of the pipeline)
     base = _fast_dir()
@@ -489,6 +522,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extensions": ext_timings,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "pipeline": pipeline,
         "scaling": scaling,
