@@ -185,6 +185,12 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
         h = F.transform(words, lambda w: hash60(w))
     else:
         h = F.transform(words, lambda w: F.xxhash64(w))
+    # materialize the word-hash array ONCE behind a projection boundary —
+    # every per-bit vote aggregate references it, and an inline expression
+    # would re-normalize/split/hash the text `bits` times per row (same
+    # fix as minhash_signature)
+    staged = df.withColumn("__sh_h", h)
+    harr = F.col("__sh_h")
     one = F.lit(1).cast("long")
 
     def vote_fn(mask):  # closure factory — see minhash_signature note
@@ -193,12 +199,12 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
     bit_cols = []
     for b in range(bits):
         mask = F.shiftleft(one, b)  # b=63 wraps to the sign bit, still a valid mask
-        votes = F.aggregate(h, F.lit(0), vote_fn(mask))
+        votes = F.aggregate(harr, F.lit(0), vote_fn(mask))
         bit_cols.append(F.when(votes > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long")))
     sig = bit_cols[0]
     for c in bit_cols[1:]:
         sig = sig.bitwiseOR(c)
-    return df.withColumn(out_col, sig)
+    return staged.withColumn(out_col, sig).drop("__sh_h")
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -315,27 +321,26 @@ def embedding_near_dups_lsh(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # one groupBy shuffle + in-bucket combination expansion (same
+    # restructure as minhash_lsh_pairs: no bucket self-join, no second
+    # evaluation of the signature pipeline)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
-            .select("band", "bucket")
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = banded.join(ok, ["band", "bucket"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
