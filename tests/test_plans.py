@@ -97,3 +97,37 @@ class TestAggregation:
         # two HashAggregates = map-side partial + final (heavy keys
         # collapse before the shuffle)
         assert plan.count("HashAggregate") >= 2
+
+
+class TestSingleEvaluation:
+    """Pin the projection boundaries that keep heavy array expressions
+    evaluated once per row. If CollapseProject ever merges them (e.g. an
+    alias becomes single-reference after a refactor, or the expressions
+    are reordered), the shingle/word-hash work silently multiplies by
+    num_hashes/bits — a 7-16x regression that row-level results never
+    catch (measured: minhash 45s -> 3-7s, simhash 2.8x at sf0.01)."""
+
+    def test_minhash_shingles_computed_once(self, spark):
+        from qsvspark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16), "simple")
+        # the shingle pipeline (array_distinct over substrings) must
+        # appear once, not once per minhash
+        assert plan.count("array_distinct") == 1
+
+    def test_simhash_word_hashes_computed_once(self, spark):
+        from qsvspark.functions import simhash
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(simhash(docs).select("doc_id", "simhash"), "simple")
+        # one word-hash transform feeding 64 vote aggregates
+        assert plan.count("xxhash64") == 1
+
+    def test_lsh_pair_expansion_single_shuffle(self, spark):
+        from qsvspark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16), "simple")
+        # in-bucket combination expansion: no join operator anywhere
+        assert "Join" not in plan
