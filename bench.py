@@ -195,6 +195,40 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_BW_SNIPPET = (
+    "import numpy, time, sys\n"
+    "a = numpy.ones(8 << 20, dtype=numpy.float64)\n"
+    "b = numpy.empty_like(a)\n"
+    "t0 = time.time(); n = 0\n"
+    "while time.time() - t0 < 1.5:\n"
+    "    numpy.copyto(b, a); n += 1\n"
+    "print(n * a.nbytes * 2 / (time.time() - t0))\n"
+)
+
+
+def _bandwidth_probe(procs: int) -> float | None:
+    """Aggregate memcpy GB/s with `procs` concurrent processes pinned to
+    cores 0..procs-1 — the same pin the scaling rep at that level uses.
+    Emitted alongside each efficiency number so a run that lands in a
+    bandwidth-degraded host phase (neighbors saturating the memory
+    controller) is visible in the artifact: the route stage is copy-bound
+    (BASELINE.md §4.3), so the job's scaling tracks this curve."""
+    try:
+        ps = []
+        for i in range(procs):
+            cmd = [sys.executable, "-c", _BW_SNIPPET]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(i % procs)] + cmd
+            ps.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+        total = 0.0
+        for p in ps:
+            out, _ = p.communicate(timeout=30)
+            total += float(out.strip().splitlines()[-1])
+        return round(total / 1e9, 2)
+    except Exception:  # noqa: BLE001 — context metric only, never fatal
+        return None
+
+
 def _one_rep(
     cores: int, rows: int, input_path: str, n_files: int,
     timeout: float, errors: list, tag: str,
@@ -319,6 +353,15 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     # per-pair ratios would keep any rep that paired a spiky run with a
     # clean one). Per-rep ratios are still emitted for transparency.
     p_lo, p_hi = lo_cores, max(SCALING_PAIR)
+    bw_lo, bw_hi = _bandwidth_probe(p_lo), _bandwidth_probe(p_hi)
+    if bw_lo and bw_hi:
+        out["bandwidth_gbps"] = {
+            f"procs_{p_lo}": bw_lo, f"procs_{p_hi}": bw_hi,
+            "hw_pair_efficiency": round((bw_hi / bw_lo) / (p_hi / p_lo), 3),
+        }
+        _log(f"[bench] memcpy bandwidth: {p_lo} proc {bw_lo} GB/s, "
+             f"{p_hi} proc {bw_hi} GB/s (hw pair eff "
+             f"{out['bandwidth_gbps']['hw_pair_efficiency']})")
     best: dict[int, dict] = {}
     ratios = []
     for i in range(REPS):
@@ -366,6 +409,9 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
         _log(f"[bench] local[{p_hi}] extra-rep {i + 1}: {run['seconds']}s")
         if p_hi not in best or run["seconds"] < best[p_hi]["seconds"]:
             best[p_hi] = run
+    bw_hi_post = _bandwidth_probe(p_hi)
+    if bw_hi_post and "bandwidth_gbps" in out:
+        out["bandwidth_gbps"][f"procs_{p_hi}_post"] = bw_hi_post
     for cores, run in best.items():
         out["runs"][f"local[{cores}]"] = run
     out["pairs"] = {}
