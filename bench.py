@@ -429,7 +429,13 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     # EXTRA pairs (informational — the bandwidth-capped regime): simple
     # best-of per level, run after the primary so budget exhaustion
     # never costs the headline number
-    for cores in [c for c in levels if c not in (p_lo, p_hi)]:
+    extra_levels = [c for c in levels if c not in (p_lo, p_hi)]
+    if extra_levels and "bandwidth_gbps" in out:
+        for c in extra_levels:
+            bw = _bandwidth_probe(c)
+            if bw:
+                out["bandwidth_gbps"][f"procs_{c}"] = bw
+    for cores in extra_levels:
         attempts = []
         for i in range(REPS):
             remaining = deadline - time.time()
