@@ -4,7 +4,8 @@ Scale notes (the whole point of these):
   - exact:    one hash-groupBy shuffle on a 32-char key; partial agg
               collapses duplicates map-side.
   - minhash:  signatures are computed per row with codegen'd expressions
-              (shingle → xxhash64 per permutation → min); LSH banding
+              (shingle → ONE xxhash64 → num_hashes affine-permutation
+              lanes → min); LSH banding
               turns all-pairs O(n²) into a groupBy on (band, band_hash)
               buckets — the only shuffle is by bucket key, and candidate
               verification happens inside small buckets.
@@ -58,6 +59,54 @@ def _shingles(text_col: str, k: int) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
+# Affine MinHash family over a Mersenne prime: each shingle is hashed
+# ONCE (xxhash64 reduced mod p), and lane j is min over shingles of
+# (a_j·h + b_j) mod p — the standard universal-hash permutation family
+# (the same construction Spark MLlib's MinHashLSH uses). Versus hashing
+# every shingle num_hashes times, shingle hashing drops by num_hashes×;
+# the affine derivation is two long ops per (shingle, lane). p = 2^31-1
+# keeps a·h + b < 2^62: no 64-bit overflow, ANSI-safe.
+_MH_PRIME = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes(text_col: str, k: int) -> Column:
+    """xxhash64 of each distinct k-shingle, reduced to [0, p) — computed
+    ONCE per shingle; every minhash lane derives from this array."""
+    return F.transform(
+        _shingles(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    )
+
+
+def minhash_signature_affine(
+    hashed: Column, num_hashes: int = 16, seed: int = 7
+) -> Column:
+    """Signature from a pre-materialized shingle-hash array: lane j is
+    min over (a_j·h + b_j) mod p. ``hashed`` must be an attribute
+    reference behind a projection boundary — each array_min re-evaluates
+    its input expression, so an inline expression would re-hash every
+    shingle num_hashes times (the exact pathology this family removes)."""
+
+    def lane(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MH_PRIME))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed, lane(a, b)))
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+
+
 def minhash_signature(
     text_col: str,
     num_hashes: int = 16,
@@ -65,9 +114,13 @@ def minhash_signature(
     hash_fn: str = "xxhash64",
     shingles: Column | None = None,
 ) -> Column:
-    """Array of num_hashes minhash values: min over shingles of
-    hash(shingle, seed=j). hash_fn='xxhash64' (fast, default) or 'md5_60'
-    (cross-engine reproducible, see hash60).
+    """Array of num_hashes minhash values.
+
+    hash_fn='md5_60': min over shingles of hash60(shingle || '|' || j) —
+    cross-engine reproducible (see hash60), used by the value oracle.
+    hash_fn='xxhash64' (production default): the affine family above —
+    prefer calling shingle_hashes + minhash_signature_affine directly so
+    the hash array sits behind a projection boundary.
 
     Pass ``shingles`` as a pre-materialized COLUMN whenever this feeds
     more than a couple of hashes: each array_min re-evaluates its input
@@ -77,18 +130,18 @@ def minhash_signature(
     keeps the boundary for non-cheap aliases referenced multiple times —
     measured 4.4× on the LSH pipeline)."""
     sh = shingles if shingles is not None else _shingles(text_col, k)
-
-    # NB: the hash-family index must be captured via a closure factory —
-    # a two-parameter lambda would be interpreted by F.transform as
-    # (element, array_index) and silently rebind j.
-    def hash_j(j: int):
-        if hash_fn == "md5_60":
+    if hash_fn == "md5_60":
+        # NB: the hash-family index must be captured via a closure
+        # factory — a two-parameter lambda would be interpreted by
+        # F.transform as (element, array_index) and silently rebind j.
+        def hash_j(j: int):
             return lambda s: hash60(s, f"|{j}")
-        return lambda s: F.xxhash64(s, F.lit(j))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)]
-    )
+        return F.array(
+            *[F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)]
+        )
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    return minhash_signature_affine(hashed, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -104,8 +157,8 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Signature is split into `bands` bands of num_hashes/bands rows; docs
-    sharing any band hash become a candidate pair. Returns (id_a, id_b,
-    band) with id_a < id_b. The heavy lifting is one groupBy on the band
+    sharing any band hash become a candidate pair. Returns distinct
+    (id_a, id_b) with id_a < id_b. The heavy lifting is one groupBy on the band
     bucket — self-cross-join only *within* buckets (tiny by construction).
 
     max_bucket_size caps the degenerate case: a bucket of B identical
@@ -117,15 +170,28 @@ def minhash_lsh_pairs(
     ``lsh_dropped_buckets`` metric column pattern in tests.
     """
     rows_per_band = num_hashes // bands
-    # shingles materialize ONCE per row behind a projection boundary;
-    # feeding the expression inline would re-normalize + re-substring +
-    # re-dedup the text num_hashes times (measured 45 s → 10 s at sf0.01)
-    sig = df.select(F.col(id_col), _shingles(text_col, k).alias("__sh")).select(
-        F.col(id_col),
-        minhash_signature(
-            text_col, num_hashes, k, hash_fn, shingles=F.col("__sh")
-        ).alias("__sig"),
-    )
+    # the per-shingle work materializes ONCE per row behind a projection
+    # boundary; feeding an inline expression to the num_hashes array_min
+    # lanes would re-run it num_hashes times (measured 45 s → 10 s at
+    # sf0.01 for the shingling alone, then another ~3× for the xxhash64
+    # path when the affine family replaced per-lane re-hashing).
+    if hash_fn == "md5_60":
+        # oracle family: per-lane salted md5 — stage the shingle ARRAY
+        sig = df.select(F.col(id_col), _shingles(text_col, k).alias("__sh")).select(
+            F.col(id_col),
+            minhash_signature(
+                text_col, num_hashes, k, hash_fn, shingles=F.col("__sh")
+            ).alias("__sig"),
+        )
+    else:
+        # production family: stage the shingle-HASH array (one xxhash64
+        # per shingle, total), lanes are affine derivations of it
+        sig = df.select(
+            F.col(id_col), shingle_hashes(text_col, k).alias("__hs")
+        ).select(
+            F.col(id_col),
+            minhash_signature_affine(F.col("__hs"), num_hashes).alias("__sig"),
+        )
 
     def band_bucket(b: int) -> Column:
         vals = [F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]

@@ -23,8 +23,38 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from qsvspark.functions.dedup import cosine
+
+
+def _manifest_probe(catalog, table: str, key: str, values: list) -> tuple[dict, list[str]]:
+    """Resolve the probed partition directories of an index table THROUGH
+    its snapshot manifest — the manifest's ``partition_counts`` (captured
+    at commit time from parquet footers) is the authoritative bucket list,
+    so no filesystem enumeration happens here and the probe works against
+    any storage the catalog abstracts (the Iceberg manifest-file-list
+    equivalent). Returns (manifest, probed_dirs)."""
+    m = catalog.manifest(table)
+    if m is None:
+        raise FileNotFoundError(f"index table '{table}' not built")
+    counts = m.get("partition_counts") or {}
+    data_dir = os.path.join(catalog._table_dir(table), m["snapshot"], "data")  # noqa: SLF001
+    dirs = [
+        os.path.join(data_dir, f"{key}={v}") for v in values if str(v) in counts
+    ]
+    return m, dirs
+
+
+def _manifest_empty_df(spark: SparkSession, manifest: dict, cols: list[str]) -> DataFrame:
+    """Empty DataFrame with the manifest-recorded types of ``cols`` — the
+    build-time schema, so an empty-probe result unions cleanly with a
+    non-empty one even when ids are strings (or any non-long type)."""
+    full = T.StructType.fromJson(manifest["schema"])
+    picked = {f.name: f for f in full.fields}
+    return spark.createDataFrame(
+        [], T.StructType([picked[c] for c in cols if c in picked])
+    )
 
 
 def brute_force_topk(
@@ -267,7 +297,8 @@ class IvfIndex:
             self.table,
             input_fingerprint=input_fingerprint or f"ivf-{n_centroids}-{sample_n}",
             lineage={"stages": ["ivf_index_build"], "n_centroids": n_centroids,
-                     "centroids": self.centroids},
+                     "centroids": self.centroids,
+                     "id_col": id_col, "vec_col": vec_col},
             partition_by="centroid",
             count_by="centroid",
         )
@@ -280,24 +311,23 @@ class IvfIndex:
         nprobe: int = 4,
     ) -> DataFrame:
         if self.centroids is None:
-            raise ValueError("IvfIndex not built (or centroids not loaded)")
+            m = self.catalog.manifest(self.table)
+            cents = (m or {}).get("lineage", {}).get("centroids")
+            if cents is None:
+                raise ValueError("IvfIndex not built (or centroids not loaded)")
+            self.centroids = cents
         probe = probed_centroids(query_vec, self.centroids, nprobe)
-        snap = self.catalog.current_snapshot(self.table)
-        if snap is None:
-            raise FileNotFoundError(f"IvfIndex table '{self.table}' not built")
-        data_dir = os.path.join(self.catalog._table_dir(self.table), snap, "data")  # noqa: SLF001
-        dirs = [
-            os.path.join(data_dir, f"centroid={p}")
-            for p in probe
-            if os.path.isdir(os.path.join(data_dir, f"centroid={p}"))
-        ]
+        m, dirs = _manifest_probe(self.catalog, self.table, "centroid", probe)
+        lin = m.get("lineage") or {}
+        id_col = lin.get("id_col", self.id_col)
+        vec_col = lin.get("vec_col", self.vec_col)
         if not dirs:
             return _rerank_topk(
-                spark.createDataFrame([], f"{self.id_col} long, {self.vec_col} array<float>"),
-                query_vec, k, self.vec_col, self.id_col,
+                _manifest_empty_df(spark, m, [id_col, vec_col]),
+                query_vec, k, vec_col, id_col,
             )
         cand = spark.read.parquet(*dirs)
-        return _rerank_topk(cand, query_vec, k, self.vec_col, self.id_col)
+        return _rerank_topk(cand, query_vec, k, vec_col, id_col)
 
 
 class AnnIndex:
@@ -361,7 +391,8 @@ class AnnIndex:
             self.table,
             input_fingerprint=input_fingerprint or f"ann-{self.bits}-{self.seed}",
             lineage={"stages": ["ann_index_build"], "bits": self.bits,
-                     "prefix_bits": self.prefix_bits, "seed": self.seed},
+                     "prefix_bits": self.prefix_bits, "seed": self.seed,
+                     "dim": dim, "id_col": id_col, "vec_col": vec_col},
             partition_by="sig_prefix",
             count_by="sig_prefix",
         )
@@ -380,17 +411,10 @@ class AnnIndex:
                 out.append(p)
         return sorted(out)
 
-    def _bucket_dirs(self, prefixes: list[int]) -> tuple[str, list[str]]:
-        snap = self.catalog.current_snapshot(self.table)
-        if snap is None:
-            raise FileNotFoundError(f"AnnIndex table '{self.table}' not built")
-        data_dir = os.path.join(self.catalog._table_dir(self.table), snap, "data")  # noqa: SLF001
-        dirs = [
-            os.path.join(data_dir, f"sig_prefix={p}")
-            for p in prefixes
-            if os.path.isdir(os.path.join(data_dir, f"sig_prefix={p}"))
-        ]
-        return data_dir, dirs
+    def _bucket_dirs(self, prefixes: list[int]) -> tuple[dict, list[str]]:
+        """Probed bucket directories, resolved from the snapshot
+        MANIFEST's partition_counts — never by listing the filesystem."""
+        return _manifest_probe(self.catalog, self.table, "sig_prefix", prefixes)
 
     def query(
         self,
@@ -406,13 +430,16 @@ class AnnIndex:
             self.dim = len(query_vec)
         planes = _hyperplanes(self.dim, self.bits, self.seed)
         qsig = query_signature(query_vec, planes)
-        _, dirs = self._bucket_dirs(self.probed_prefixes(qsig, probe_hamming))
+        m, dirs = self._bucket_dirs(self.probed_prefixes(qsig, probe_hamming))
+        lin = m.get("lineage") or {}
+        id_col = lin.get("id_col", self.id_col)
+        vec_col = lin.get("vec_col", self.vec_col)
         if not dirs:
             return _rerank_topk(
-                spark.createDataFrame([], f"{self.id_col} long, {self.vec_col} array<float>"),
-                query_vec, k, self.vec_col, self.id_col,
+                _manifest_empty_df(spark, m, [id_col, vec_col]),
+                query_vec, k, vec_col, id_col,
             )
         cand = spark.read.parquet(*dirs).filter(
             F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= probe_hamming
         )
-        return _rerank_topk(cand, query_vec, k, self.vec_col, self.id_col)
+        return _rerank_topk(cand, query_vec, k, vec_col, id_col)

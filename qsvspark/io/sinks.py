@@ -270,10 +270,17 @@ def partition(
     contract).
     """
     require_columns(df, [column])
-    # sanitize JVM-side (regexp_replace) — no Python in the write path
+    # sanitize JVM-side (regexp_replace) — no Python in the write path.
+    # Null keys coalesce to the literal 'null' BEFORE partitioning: the
+    # reference's anyvalue_to_string writes 'null.csv' for null keys
+    # (partition.rs:86), whereas a null partition value would surface as
+    # Spark's __HIVE_DEFAULT_PARTITION__ directory.
     out = df.withColumn(
         "__part_key__",
-        F.trim(F.regexp_replace(F.col(column).cast("string"), _SANITIZE_PATTERN, "_")),
+        F.trim(F.regexp_replace(
+            F.coalesce(F.col(column).cast("string"), F.lit("null")),
+            _SANITIZE_PATTERN, "_",
+        )),
     )
     if per_key_files:
         import glob as _glob

@@ -209,6 +209,30 @@ def _fixed_offset_seconds(tz_name: str) -> int | None:
     return int(offsets.pop().total_seconds())
 
 
+def _session_tz_fixed_offset(spark) -> int | None:
+    """The SESSION zone's constant offset, or None if it has DST/history.
+
+    The native changetz expression parses and re-formats wall times in the
+    session zone; the zone only cancels out of parse→shift→format when its
+    offset never changes. A DST session zone (e.g. America/New_York) makes
+    the shift wrong whenever it crosses one of that zone's transitions and
+    mis-parses wall times inside its spring-forward gap — so the native
+    path must treat the session zone exactly like from_tz/to_tz and fall
+    back to the pandas UDF (which never touches the session zone) when it
+    is not fixed-offset."""
+    import re as _re
+
+    name = spark.conf.get("spark.sql.session.timeZone", "") or ""
+    m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", name)
+    if m:  # literal-offset ids ("+09:00", "GMT+8") ZoneInfo can't load
+        sign = 1 if m.group(1) == "+" else -1
+        return sign * (int(m.group(2)) * 3600 + int(m.group(3) or 0) * 60)
+    try:
+        return _fixed_offset_seconds(name)
+    except Exception:  # noqa: BLE001 — unknown zone id → pandas path
+        return None
+
+
 def _offset_text(seconds: int, colon: bool) -> str:
     sign = "+" if seconds >= 0 else "-"
     mins = abs(seconds) // 60
@@ -247,8 +271,10 @@ def _native_changetz(
         )
     s = F.col(column).cast("string")
     # try_to_timestamp parses the wall time in the SESSION zone and
-    # date_format prints in it, so the zone cancels out: the result is
-    # wall-time + (to_off - from_off), session-tz-invariant.
+    # date_format prints in it; the zone cancels out of parse→shift→format
+    # ONLY when its offset is constant, which the caller guarantees via
+    # _session_tz_fixed_offset — a DST session zone would corrupt shifts
+    # crossing its transitions, so those sessions use the pandas UDF.
     shifted = F.try_to_timestamp(s, F.lit(in_pat)) + F.make_dt_interval(
         secs=F.lit(to_off - from_off)
     )
@@ -285,7 +311,8 @@ def changetz(
     extraction and ~25 fallback formats, changetz.rs:9-145).
 
     Execution strategy: a FIXED input format between two fixed-offset
-    zones compiles to pure Catalyst expressions (parse → constant
+    zones — under a fixed-offset SESSION timezone, checked per call —
+    compiles to pure Catalyst expressions (parse → constant
     interval shift → format; whole-stage codegen, no Python workers —
     ~10× on the headline bench and removes the Python boundary at
     cluster scale). The auto ladder and DST zones use the Arrow-batched
@@ -298,7 +325,7 @@ def changetz(
     amb_flag = ambiguous == "earliest"  # pandas: True = DST (first occurrence)
     auto = input_format in (None, "auto")
 
-    if not auto:
+    if not auto and _session_tz_fixed_offset(df.sparkSession) is not None:
         native = _native_changetz(column, from_tz, to_tz, input_format, output_format)
         if native is not None:
             return df.withColumn(column, native)

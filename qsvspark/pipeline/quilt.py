@@ -162,6 +162,7 @@ class Quilt:
                 consumers[src] = consumers.get(src, 0) + 1
 
         last: DataFrame | None = None
+        cached: list[DataFrame] = []
         for name, scfg in stages.items():  # YAML order (py3.7+ dicts)
             stype = (scfg or {}).get("type", "process")
             if stype == "process":
@@ -199,8 +200,17 @@ class Quilt:
                 raise InvalidArgumentError(f"unknown stage type '{stype}'")
             if consumers.get(name, 0) > 1:
                 df = df.cache()
+                cached.append(df)
             self.stage_results[name] = df
             last = df
+        # release the shared-stage caches once the DAG has run: every
+        # consuming action (finalizer steps) happened inside this loop, so
+        # holding the blocks past return is a leak in a long-lived session
+        # (actions the CALLER later runs on the returned frame recompute —
+        # correctness is unaffected). The reference never caches at all
+        # (quilt.rs re-executes shared subplans per consumer).
+        for df in cached:
+            df.unpersist()
         return last
 
     def _sources_of(self, scfg: dict | None) -> list[str]:

@@ -82,6 +82,45 @@ class TestDedup:
         assert (0, 2) in pairs  # near dup shares most shingles
         assert (0, 4) not in pairs and (3, 4) not in pairs
 
+    def test_affine_family_same_lsh_semantics(self, spark, docs):
+        """The affine-permutation production family must produce exactly
+        the banded-LSH pair set its signatures imply: replicate
+        signature → bands → buckets → i<j pairs driver-side from the
+        SAME staged signature expression and compare."""
+        from qsvspark.functions.dedup import (
+            minhash_signature_affine, shingle_hashes,
+        )
+
+        num_hashes, bands, k = 16, 8, 4
+        rows_per_band = num_hashes // bands
+        sigs = {
+            r["doc_id"]: list(r["sig"])
+            for r in docs.select(
+                "doc_id", shingle_hashes("text", k).alias("__hs")
+            ).select(
+                "doc_id",
+                minhash_signature_affine(F.col("__hs"), num_hashes).alias("sig"),
+            ).collect()
+        }
+        expected = set()
+        for b in range(bands):
+            buckets: dict = {}
+            for doc, sig in sigs.items():
+                key = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                buckets.setdefault(key, []).append(doc)
+            for members in buckets.values():
+                members.sort()
+                for i, a in enumerate(members):
+                    for bb in members[i + 1 :]:
+                        expected.add((a, bb))
+        got = {(r["id_a"], r["id_b"]) for r in
+               minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands,
+                                 k=k).collect()}
+        assert got == expected
+        # identical docs share every lane; the family is a real MinHash
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[4]
+
     def test_minhash_bucket_cap_bounds_degenerate_buckets(self, spark):
         """10k identical docs form one bucket per band that would go
         O(B²) = 50M pairs; the cap drops those buckets so the job stays
@@ -186,6 +225,59 @@ class TestSimilarity:
         _, dirs = idx._bucket_dirs(prefixes)  # noqa: SLF001
         all_buckets = len(manifest["partition_counts"])
         assert 0 < len(dirs) < all_buckets
+
+
+class TestIndexManifestProbing:
+    """Index probes must resolve bucket directories through the snapshot
+    MANIFEST (partition_counts), never by enumerating the filesystem —
+    the emulation-layer property that maps 1:1 to an Iceberg manifest
+    read on any storage backend."""
+
+    def test_query_never_lists_filesystem(self, spark, tmp_path, monkeypatch):
+        import os as _os
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        ann = AnnIndex(str(tmp_path / "ann"), bits=12, prefix_bits=6, seed=42)
+        ann.build(emb, dim=64)
+        from qsvspark.functions import IvfIndex
+
+        ivf = IvfIndex(str(tmp_path / "ivf"))
+        ivf.build(emb, n_centroids=8, sample_n=128)
+        qv = list(emb.filter("vec_id = 3").collect()[0]["embedding"])
+        scan = [(r["vec_id"], r["cos"]) for r in
+                lsh_ann_topk(emb, qv, k=5, bits=12, probe_hamming=2).collect()]
+        from qsvspark.functions import ivf_topk
+
+        adhoc = [(r["vec_id"], r["cos"]) for r in
+                 ivf_topk(emb, qv, ivf.centroids, k=5, nprobe=2).collect()]
+
+        def _no_isdir(path):
+            raise AssertionError(f"os.path.isdir called during query: {path}")
+
+        monkeypatch.setattr(_os.path, "isdir", _no_isdir)
+        probed = [(r["vec_id"], r["cos"]) for r in
+                  ann.query(spark, qv, k=5, probe_hamming=2).collect()]
+        assert probed == scan
+        ivf_probed = [(r["vec_id"], r["cos"]) for r in
+                      ivf.query(spark, qv, k=5, nprobe=2).collect()]
+        assert ivf_probed == adhoc
+
+    def test_empty_probe_keeps_build_schema(self, spark, tmp_path):
+        """String doc ids: an empty-probe result must carry the SAME
+        schema as a non-empty one (captured at build time via the
+        manifest), so unions/comparisons downstream don't break."""
+        rows = [(f"doc-{i}", [1.0, 0.0, 0.0, 0.0]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+        idx = AnnIndex(str(tmp_path), bits=8, prefix_bits=4, seed=1)
+        idx.build(df, dim=4)
+        hit = idx.query(spark, [1.0, 0.0, 0.0, 0.0], k=3, probe_hamming=0)
+        assert len(hit.collect()) == 3
+        # all vectors share one signature; the negated query's signature
+        # has every bit flipped, so a 0-hamming probe hits no bucket
+        miss = idx.query(spark, [-1.0, 0.0, 0.0, 0.0], k=3, probe_hamming=0)
+        assert miss.collect() == []
+        assert miss.schema == hit.schema
+        assert hit.unionByName(miss).count() == 3
 
 
 class TestMultimodal:

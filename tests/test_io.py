@@ -171,6 +171,21 @@ class TestSinks:
         assert foo[1] == "2023-01-01 12:00:00,1,2,3,foo"
         assert len(foo) == 2
 
+    def test_partition_null_key_writes_null_csv(self, spark, tmp_path):
+        """Reference parity: a null key partitions to 'null.csv'
+        (partition.rs:86 anyvalue_to_string), never Spark's
+        __HIVE_DEFAULT_PARTITION__ directory name."""
+        df = spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "k string, v int"
+        )
+        out = str(tmp_path / "null_keys")
+        from qsvspark.io.sinks import partition as sink_partition
+
+        sink_partition(df, "k", out, fmt="csv", per_key_files=True)
+        assert sorted(os.listdir(out)) == ["a.csv", "b.csv", "null.csv"]
+        null_rows = open(os.path.join(out, "null.csv")).read().splitlines()
+        assert null_rows[0] == "k,v" and null_rows[1].endswith("2")
+
     def test_showquery_plan(self, simple_df):
         text = Q(simple_df).select("col1").showquery()
         assert "Physical Plan" in text

@@ -257,3 +257,46 @@ class TestChangetzNativePath:
             q.df._jdf.queryExecution(), "simple"
         )
         assert "Python" not in plan
+
+    def test_dst_session_tz_gates_native_path(self, spark):
+        """The native parse→shift→format cancels the session zone out
+        ONLY when that zone is fixed-offset. Under a DST session zone
+        (America/New_York) a UTC→Tokyo shift crossing the session zone's
+        spring-forward transition must still be exact — which requires
+        changetz to fall back to the pandas path (the native expression
+        would return 10:00 instead of 09:00, and gap wall times would
+        mis-parse)."""
+        from qsvspark.ops.udf import _session_tz_fixed_offset
+
+        df = spark.createDataFrame(
+            [("2023-03-12 00:00:00",), ("2023-03-12 02:30:00",)], ["t"]
+        )
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            assert _session_tz_fixed_offset(spark) is None
+            out = [
+                r["t"]
+                for r in Q(df).changetz(
+                    "t", from_tz="UTC", to_tz="Asia/Tokyo",
+                    input_format="%Y-%m-%d %H:%M:%S",
+                    output_format="%Y-%m-%d %H:%M:%S",
+                ).df.collect()
+            ]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
+        assert out == ["2023-03-12 09:00:00", "2023-03-12 11:30:00"]
+
+    def test_session_tz_fixed_offset_detection(self, spark):
+        from qsvspark.ops.udf import _session_tz_fixed_offset
+
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for name, want in [
+                ("UTC", 0), ("Etc/GMT+5", -5 * 3600), ("+09:00", 9 * 3600),
+                ("GMT+8", 8 * 3600), ("-03:30", -(3 * 3600 + 30 * 60)),
+            ]:
+                spark.conf.set("spark.sql.session.timeZone", name)
+                assert _session_tz_fixed_offset(spark) == want, name
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)

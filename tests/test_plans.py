@@ -124,6 +124,18 @@ class TestSingleEvaluation:
         # one word-hash transform feeding 64 vote aggregates
         assert plan.count("xxhash64") == 1
 
+    def test_minhash_production_hashes_each_shingle_once(self, spark):
+        """The xxhash64 family must hash each shingle ONCE and derive the
+        num_hashes lanes via the affine permutation family — per-lane
+        re-hashing (16 xxhash64 per shingle) is a 16× waste the plan
+        would show as 16+ xxhash64 occurrences. The only xxhash64 calls
+        allowed: 1 in the staged shingle-hash array + 1 per band bucket."""
+        from qsvspark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16, bands=4), "simple")
+        assert plan.count("xxhash64") == 1 + 4
+
     def test_lsh_pair_expansion_single_shuffle(self, spark):
         from qsvspark.functions import minhash_lsh_pairs
 

@@ -84,8 +84,9 @@ stages:
         out = q.run_file(p)
         assert sorted(out.columns) == ["col1", "datetime", "str"]
         assert out.count() == 3
-        # load_stage had 2 consumers → cached
-        assert q.stage_results["load_stage"].is_cached
+        # load_stage had 2 consumers → cached for the run, then
+        # RELEASED before run() returned (no leaked storage blocks)
+        assert not q.stage_results["load_stage"].is_cached
 
     def test_concat_stage(self, spark, fixture_dir):
         p = write_yaml(fixture_dir, """
@@ -176,3 +177,33 @@ stages:
 """)
         out = Quilt(spark).run_file(p)
         assert [r["str"] for r in out.collect()] == ["baz", "bar"]
+
+    def test_shared_stage_cache_released_after_run(self, spark, fixture_dir):
+        """A stage consumed by >1 later stages is cached for the run and
+        UNPERSISTED before run() returns — no leaked storage blocks in a
+        long-lived session."""
+        p = write_yaml(fixture_dir, """
+title: Shared
+stages:
+  base:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  left:
+    type: process
+    source: base
+    steps:
+      select: {colnames: "col1,str"}
+  both:
+    type: concat
+    sources:
+      - base
+      - base
+""")
+        q = Quilt(spark)
+        out = q.run_file(p)
+        assert out.count() == 6  # base ∪ base
+        from pyspark import StorageLevel
+
+        for name, df in q.stage_results.items():
+            assert df.storageLevel == StorageLevel.NONE, name
