@@ -50,13 +50,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # --- MinHash + LSH ----------------------------------------------------
 
-def _shingles(text_col: str, k: int) -> Column:
-    """Character k-shingles as a distinct array (codegen: substr over a
-    sequence — no Python)."""
-    norm = _norm_text(text_col)
+def _shingle_seq(norm: Column, k: int) -> Column:
+    """Character k-shingles of a PRE-STAGED normalized-text column
+    (codegen: substr over a sequence — no Python). ``norm`` MUST be an
+    attribute reference behind a projection boundary: the transform
+    lambda references it once PER ELEMENT, so an inline normalization
+    expression would re-run lower/regexp_replace/trim ~|text| times per
+    row (measured: 16 s → 0.3 s single-core on 5k docs at sf0.1)."""
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+    return F.transform(idx, lambda i: F.substring(norm, i, k))
+
+
+def _shingles(text_col: str, k: int) -> Column:
+    """Distinct character k-shingles (inline normalization — only for
+    one-shot use; pipelines stage the normalized text first, see
+    _shingle_seq)."""
+    return F.array_distinct(_shingle_seq(_norm_text(text_col), k))
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a under-partitioned input across the cluster before
+    CPU-heavy per-row stages. Signature computation is compute-bound, not
+    byte-bound: a small-bytes scan (one parquet file under
+    maxPartitionBytes) arrives as 1 partition and would pin the whole
+    signature stage to one core. The repartition shuffles only the bytes
+    the scan read; when the input already has >= defaultParallelism
+    partitions (any at-scale table) it is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # Affine MinHash family over a Mersenne prime: each shingle is hashed
@@ -80,10 +104,15 @@ def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def shingle_hashes(text_col: str, k: int) -> Column:
-    """xxhash64 of each distinct k-shingle, reduced to [0, p) — computed
-    ONCE per shingle; every minhash lane derives from this array."""
+    """xxhash64 of each k-shingle, reduced to [0, p) — computed ONCE per
+    shingle; every minhash lane derives from this array. No distinct
+    pass: min over a multiset equals min over its set, so duplicate
+    shingles cannot change any minhash lane and array_distinct's O(n²)
+    string comparisons are pure waste here. (Inline normalization —
+    pipelines stage the normalized text first, see minhash_lsh_pairs.)"""
     return F.transform(
-        _shingles(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+        _shingle_seq(_norm_text(text_col), k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
     )
 
 
@@ -170,24 +199,43 @@ def minhash_lsh_pairs(
     ``lsh_dropped_buckets`` metric column pattern in tests.
     """
     rows_per_band = num_hashes // bands
-    # the per-shingle work materializes ONCE per row behind a projection
-    # boundary; feeding an inline expression to the num_hashes array_min
-    # lanes would re-run it num_hashes times (measured 45 s → 10 s at
-    # sf0.01 for the shingling alone, then another ~3× for the xxhash64
-    # path when the affine family replaced per-lane re-hashing).
+    # Evaluate-once staging, the property every heavy expression here
+    # needs (Catalyst does not CSE repeated or lambda-referenced
+    # subexpressions):
+    #   1. the NORMALIZED TEXT goes behind a projection boundary — the
+    #      shingle transform references it once per element, so inline it
+    #      would re-run lower/regexp_replace/trim |shingles| times per
+    #      row (measured 16 s → 0.3 s single-core at sf0.1);
+    #   2. the per-shingle work (distinct array / hash array) goes behind
+    #      a second boundary — the num_hashes array_min lanes each
+    #      re-evaluate their input (measured 45 s → 10 s at sf0.01).
+    # A compute-bound stage also must not inherit a byte-sized partition
+    # count — see _ensure_parallelism.
+    staged = _ensure_parallelism(df).select(
+        F.col(id_col), _norm_text(text_col).alias("__t")
+    )
     if hash_fn == "md5_60":
-        # oracle family: per-lane salted md5 — stage the shingle ARRAY
-        sig = df.select(F.col(id_col), _shingles(text_col, k).alias("__sh")).select(
+        # oracle family: per-lane salted md5 over the DISTINCT shingle
+        # array (the DuckDB replica uses list_distinct)
+        sig = staged.select(
+            F.col(id_col),
+            F.array_distinct(_shingle_seq(F.col("__t"), k)).alias("__sh"),
+        ).select(
             F.col(id_col),
             minhash_signature(
                 text_col, num_hashes, k, hash_fn, shingles=F.col("__sh")
             ).alias("__sig"),
         )
     else:
-        # production family: stage the shingle-HASH array (one xxhash64
-        # per shingle, total), lanes are affine derivations of it
-        sig = df.select(
-            F.col(id_col), shingle_hashes(text_col, k).alias("__hs")
+        # production family: one xxhash64 per shingle (no distinct pass —
+        # min over a multiset == min over its set), lanes are affine
+        # derivations of the staged hash array
+        sig = staged.select(
+            F.col(id_col),
+            F.transform(
+                _shingle_seq(F.col("__t"), k),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+            ).alias("__hs"),
         ).select(
             F.col(id_col),
             minhash_signature_affine(F.col("__hs"), num_hashes).alias("__sig"),
@@ -288,15 +336,23 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs
     (id_a, id_b) — the verification stage after LSH. Joining the (small)
-    candidate set back to docs twice is two hash joins keyed on id."""
-    words = F.split(_norm_text(text_col), " ")
+    candidate set back to docs twice is two hash joins keyed on id.
+
+    The word array is staged behind a projection boundary before the
+    gram transform: the lambda references it once per gram, so an inline
+    split-of-normalized-text would re-run normalization+split |grams|
+    times per row (same non-CSE pathology as minhash_lsh_pairs)."""
+    staged = df_docs.select(
+        F.col(id_col), F.split(_norm_text(text_col), " ").alias("__w")
+    )
+    words = F.col("__w")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    docs = df_docs.select(F.col(id_col), grams.alias("__g"))
+    docs = staged.select(F.col(id_col), grams.alias("__g"))
     a = docs.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "__ga")
     b = docs.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "__gb")
     joined = df_pairs.join(a, "id_a").join(b, "id_b")

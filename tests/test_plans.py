@@ -111,10 +111,18 @@ class TestSingleEvaluation:
         from qsvspark.functions import minhash_lsh_pairs
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16), "simple")
-        # the shingle pipeline (array_distinct over substrings) must
-        # appear once, not once per minhash
+        # oracle family: the DISTINCT shingle array must appear once, not
+        # once per minhash lane
+        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16, hash_fn="md5_60"),
+                       "simple")
         assert plan.count("array_distinct") == 1
+        # production family: normalization must run ONCE per row — an
+        # inline norm inside the shingle transform's lambda would put a
+        # second regexp_replace occurrence per element evaluation site;
+        # and the multiset-min identity removes array_distinct entirely
+        plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16), "simple")
+        assert plan.count("regexp_replace") == 1
+        assert plan.count("array_distinct") == 0
 
     def test_simhash_word_hashes_computed_once(self, spark):
         from qsvspark.functions import simhash
