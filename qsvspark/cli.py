@@ -311,10 +311,14 @@ def _apply(q, c: Command, out):
     if name == "show":
         rows = None
         if "--batch-size" in c.options:
+            from qsvspark.io.sinks import estimate_batch_rows
+
             # reference batch size is BYTES (1MB-10GB, command.rs:721-778);
-            # map to a driver-slice row count assuming ~256B/CSV row so the
-            # stream holds one slice, not the table
-            rows = max(1000, parse_batch_size(c.options["--batch-size"]) // 256)
+            # map to rows via a 100-row width probe (batch.rs:8-38) so the
+            # stream holds one right-sized slice, not the table
+            rows = estimate_batch_rows(
+                q.df, parse_batch_size(c.options["--batch-size"])
+            )
         q.show(file=out, batch_size=rows)
         return q
     if name == "showtable":
@@ -338,9 +342,20 @@ def _apply(q, c: Command, out):
         print(q.showquery(), file=out)
         return q
     if name == "dump":
+        sep = _opt(c, "-s", "--separator", default=",")
+        target = _opt(c, "-o", default="dump.csv")
         if "--batch-size" in c.options:
-            parse_batch_size(c.options["--batch-size"])  # validate only
-        q.dump(_opt(c, "-o", default="dump.csv"), separator=_opt(c, "-s", "--separator", default=","))
+            from qsvspark.io.sinks import estimate_batch_rows
+
+            # streamed single-file write: same toLocalIterator pattern as
+            # show, slice rows sized by the 100-row width probe
+            # (reference dump.rs:74-134 streamed batches)
+            rows = estimate_batch_rows(
+                q.df, parse_batch_size(c.options["--batch-size"])
+            )
+            q.dump(target, separator=sep, batch_size=rows)
+        else:
+            q.dump(target, separator=sep)
         return q
     if name == "dumpcache":
         q.dumpcache(_opt(c, "-o", default="cache.parquet"))

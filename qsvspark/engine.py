@@ -133,8 +133,9 @@ class Q:
     def showquery(self, extended: bool = True) -> str:
         return sinks.showquery(self.df, extended)
 
-    def dump(self, output: str, separator: str = ",", single_file: bool = False) -> None:
-        sinks.dump(self.df, output, separator, single_file)
+    def dump(self, output: str, separator: str = ",", single_file: bool = False,
+             batch_size: int | None = None) -> None:
+        sinks.dump(self.df, output, separator, single_file, batch_size=batch_size)
 
     def dumpcache(self, output: str) -> None:
         sinks.dumpcache(self.df, output)

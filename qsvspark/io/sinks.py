@@ -211,19 +211,67 @@ def showquery(df: DataFrame, extended: bool = True) -> str:
     return text
 
 
+def estimate_batch_rows(
+    df: DataFrame, target_bytes: int, sample_rows: int = 100
+) -> int:
+    """Rows per driver-side slice for a byte-denominated ``--batch-size``:
+    sample up to 100 rows, estimate bytes/row from their CSV rendering,
+    clamp to [1e3, 1e6] rows — the reference's adaptive batch sizing
+    (batch.rs:8-38, row clamp batch.rs:4-5), replacing a fixed
+    bytes-per-row guess so wide rows get proportionally smaller slices."""
+    sample = df.limit(sample_rows).collect()
+    if not sample:
+        return 1000
+    total = sum(
+        len(",".join("" if v is None else str(v) for v in r)) + 1 for r in sample
+    )
+    bytes_per_row = max(1, total // len(sample))
+    return max(1000, min(1_000_000, target_bytes // bytes_per_row))
+
+
+def _write_csv_rows(rows_iter, cols: list[str], out_file, separator: str,
+                    flush_every: int = 10_000) -> None:
+    """One csv-module writer shared by every single-file CSV path, so the
+    streamed and collected variants are byte-identical by construction."""
+    import csv as _csv
+
+    w = _csv.writer(out_file, delimiter=separator, lineterminator="\n")
+    w.writerow(cols)
+    buf: list = []
+    for row in rows_iter:
+        buf.append(tuple(row))
+        if len(buf) >= flush_every:
+            w.writerows(buf)
+            buf.clear()
+    w.writerows(buf)
+
+
 def dump(
     df: DataFrame,
     output: str,
     separator: str = ",",
     single_file: bool = False,
     mode: str = "overwrite",
+    batch_size: int | None = None,
 ) -> None:
     """Write CSV. Distributed directory-of-parts by default (the scale
     path); single_file=True gives reference-style one-file output for
-    CLI parity (collects via Arrow — small data only).
+    CLI parity (one Arrow collect — small data only); batch_size (rows)
+    STREAMS the same single file through the driver via toLocalIterator,
+    holding one partition at a time — bounded driver memory like the
+    reference's streamed dump (dump.rs:74-134), but the plan runs once
+    instead of once per batch.
     Reference: finalizers/dump.rs:9-171."""
+    if batch_size:
+        with open(output, "w", newline="") as f:
+            _write_csv_rows(
+                df.toLocalIterator(prefetchPartitions=True), df.columns, f,
+                separator, flush_every=batch_size,
+            )
+        return
     if single_file:
-        df.toPandas().to_csv(output, index=False, sep=separator)
+        with open(output, "w", newline="") as f:
+            _write_csv_rows(iter(df.collect()), df.columns, f, separator)
         return
     df.write.mode(mode).option("header", "true").option("sep", separator).csv(output)
 

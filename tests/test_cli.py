@@ -143,3 +143,18 @@ class TestExecute:
                 "-", "dump", "-o", dest)
         back = spark.read.option("header", "true").csv(dest)
         assert sorted(r["str"] for r in back.collect()) == ["bar", "baz", "foo"]
+
+    def test_dump_batch_size_streams_single_file(self, spark, tmp_path):
+        """--batch-size is no longer validate-and-ignore: it routes the
+        dump through the toLocalIterator single-file stream, producing
+        bytes identical to the library's single-file dump."""
+        from qsvspark.io import load as _load
+        from qsvspark.io.sinks import dump as _dump
+
+        batched = str(tmp_path / "batched.csv")
+        run_cli(spark, "load", SIMPLE, "-", "dump", "--batch-size", "1MB",
+                "-o", batched)
+        single = str(tmp_path / "single.csv")
+        _dump(_load(spark, SIMPLE), single, single_file=True)
+        assert os.path.isfile(batched)
+        assert open(batched, "rb").read() == open(single, "rb").read()

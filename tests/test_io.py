@@ -139,6 +139,35 @@ class TestSinks:
         Q(simple_df).dump(out, single_file=True)
         assert open(out).readline().strip() == "datetime,col1,col2,col3,str"
 
+    def test_dump_streamed_matches_single_file(self, spark, tmp_path):
+        """--batch-size dump: toLocalIterator stream into ONE file,
+        byte-identical to the single-collect single-file dump, on a
+        multi-partition input (reference dump.rs:74-134 semantics)."""
+        from qsvspark.io.sinks import dump as _dump
+
+        df = spark.range(0, 5000, 1, 8).selectExpr(
+            "id", "cast(id * 1.5 as double) AS v", "concat('row_', id) AS s"
+        )
+        single = tmp_path / "single.csv"
+        streamed = tmp_path / "streamed.csv"
+        _dump(df, str(single), single_file=True)
+        _dump(df, str(streamed), batch_size=100)
+        assert streamed.read_bytes() == single.read_bytes()
+        assert streamed.is_file()
+
+    def test_estimate_batch_rows_probes_row_width(self, spark):
+        """Wide rows get proportionally smaller slices (100-row width
+        probe, batch.rs:8-38), clamped to [1e3, 1e6] (batch.rs:4-5)."""
+        from qsvspark.io.sinks import estimate_batch_rows
+
+        narrow = spark.range(200).selectExpr("cast(id AS string) AS s")
+        wide = spark.range(200).selectExpr("repeat('x', 10000) AS s")
+        n = estimate_batch_rows(narrow, 100_000_000)
+        w = estimate_batch_rows(wide, 100_000_000)
+        assert w < n == 1_000_000          # narrow hits the upper clamp
+        assert 9_000 < w < 11_000          # ≈ target / (10000+1) bytes/row
+        assert estimate_batch_rows(narrow.limit(0), 123) == 1000
+
     def test_dumpcache_roundtrip(self, spark, simple_df, tmp_path):
         out = str(tmp_path / "cache.parquet")
         Q(simple_df).dumpcache(out)
