@@ -1,7 +1,12 @@
-"""Benchmark runner. Prints ONE JSON line:
+"""Benchmark runner. Prints ONE bounded-size JSON summary line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "pipeline": {...}, "scaling": {...}}
+   "queries": {name: sec, ...}, "extensions": {...}, "sf": ...,
+   "pipeline": {rows, seconds, sequences_per_sec},
+   "scaling": {scaling_efficiency, hw_pair_efficiency,
+               job_vs_hw_ceiling, bandwidth_capped, phase, ...},
+   "detail_file": "BENCH_DETAIL.json"}
+and writes the full detail (per-level runs, bandwidth-probe history,
+calibration, per-sink counts) to BENCH_DETAIL.json next to this file.
 
 Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. The scaling section evidences the north-rule
@@ -229,6 +234,52 @@ def _bandwidth_probe(procs: int) -> float | None:
         return None
 
 
+# a pair probe below this hardware efficiency marks a bandwidth-degraded
+# host phase (neighbors saturating the memory controller): the copy-bound
+# route stage cannot scale past the machine's own memcpy curve, so the
+# bench WAITS for a cleaner phase before burning the primary-pair budget
+# and prefers reps whose bracketing probes were cleanest.
+CLEAN_HW_EFF = float(os.environ.get("QSVSPARK_BENCH_CLEAN_HW_EFF", "0.85"))
+PHASE_WAIT_S = int(os.environ.get("QSVSPARK_BENCH_PHASE_WAIT", "90"))
+PHASE_ATTEMPTS = int(os.environ.get("QSVSPARK_BENCH_PHASE_ATTEMPTS", "4"))
+
+
+def _pair_probe(p_lo: int, p_hi: int) -> dict | None:
+    """One memcpy-bandwidth measurement at both primary-pair levels →
+    {lo_gbps, hi_gbps, hw_eff}."""
+    bw_lo, bw_hi = _bandwidth_probe(p_lo), _bandwidth_probe(p_hi)
+    if not (bw_lo and bw_hi):
+        return None
+    return {
+        "lo_gbps": bw_lo, "hi_gbps": bw_hi,
+        "hw_eff": round((bw_hi / bw_lo) / (p_hi / p_lo), 3),
+    }
+
+
+def _wait_clean_phase(p_lo: int, p_hi: int, deadline: float) -> list[dict]:
+    """Probe the hardware pair efficiency and, while it shows a degraded
+    phase, wait and re-probe (bounded attempts + budget share) before the
+    primary pair starts. Returns the probe history (first entry = initial
+    state, last entry = the phase the pair actually ran in)."""
+    history: list[dict] = []
+    for attempt in range(PHASE_ATTEMPTS):
+        probe = _pair_probe(p_lo, p_hi)
+        if probe is None:
+            return history
+        probe["unix"] = int(time.time())
+        history.append(probe)
+        if probe["hw_eff"] >= CLEAN_HW_EFF:
+            break
+        # don't spend more than ~1/4 of the scaling budget waiting
+        if attempt == PHASE_ATTEMPTS - 1 or time.time() + PHASE_WAIT_S > deadline:
+            break
+        _log(f"[bench] degraded host phase (hw pair eff {probe['hw_eff']} < "
+             f"{CLEAN_HW_EFF}); waiting {PHASE_WAIT_S}s for a cleaner phase "
+             f"({attempt + 1}/{PHASE_ATTEMPTS - 1} waits)")
+        time.sleep(PHASE_WAIT_S)
+    return history
+
+
 def _one_rep(
     cores: int, rows: int, input_path: str, n_files: int,
     timeout: float, errors: list, tag: str,
@@ -345,24 +396,42 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     out["rows"] = rows
     _log(f"[bench] scaling rows={rows} ({n_files}/{N_INPUT_FILES} input files)")
 
-    # PRIMARY pair: INTERLEAVED (hi, lo) rep pairs, so a slow host phase
-    # cannot land entirely on one level. The reported efficiency is the
-    # ratio of per-level MINIMA (the steady-state estimator: host noise
-    # on this microVM is one-sided slowdown spikes — measured 45→80 s on
-    # identical 4-core reps — and min-of-N filters them; a median of
-    # per-pair ratios would keep any rep that paired a spiky run with a
-    # clean one). Per-rep ratios are still emitted for transparency.
+    # PRIMARY pair: REACTIVE to host phase, then INTERLEAVED (hi, lo)
+    # rep pairs so a slow phase cannot land entirely on one level.
+    #   1. Before spending the budget, probe the hardware's own memcpy
+    #      pair efficiency and WAIT (bounded) while the host is in a
+    #      bandwidth-degraded phase — the copy-bound route stage tracks
+    #      that ceiling, so measuring during degradation measures the
+    #      neighbors, not the engine (round 2 recorded 0.687 with the
+    #      hardware itself at 0.674).
+    #   2. Bracket every rep with probes; the reported efficiency is the
+    #      ratio of per-level MINIMA over the reps whose bracketing
+    #      probes were clean (falling back to all reps when no clean
+    #      bracket exists), and job_vs_hw_ceiling = job eff / hw eff of
+    #      the selected phase is emitted machine-readable.
     p_lo, p_hi = lo_cores, max(SCALING_PAIR)
-    bw_lo, bw_hi = _bandwidth_probe(p_lo), _bandwidth_probe(p_hi)
-    if bw_lo and bw_hi:
+    probe_hist = _wait_clean_phase(p_lo, p_hi, deadline - 2 * WORKER_TIMEOUT)
+    out["probe_history"] = probe_hist
+    if probe_hist:
+        start = probe_hist[-1]
         out["bandwidth_gbps"] = {
-            f"procs_{p_lo}": bw_lo, f"procs_{p_hi}": bw_hi,
-            "hw_pair_efficiency": round((bw_hi / bw_lo) / (p_hi / p_lo), 3),
+            f"procs_{p_lo}": start["lo_gbps"], f"procs_{p_hi}": start["hi_gbps"],
+            "hw_pair_efficiency": start["hw_eff"],
         }
-        _log(f"[bench] memcpy bandwidth: {p_lo} proc {bw_lo} GB/s, "
-             f"{p_hi} proc {bw_hi} GB/s (hw pair eff "
-             f"{out['bandwidth_gbps']['hw_pair_efficiency']})")
-    best: dict[int, dict] = {}
+        _log(f"[bench] memcpy bandwidth at pair start: {p_lo} proc "
+             f"{start['lo_gbps']} GB/s, {p_hi} proc {start['hi_gbps']} GB/s "
+             f"(hw pair eff {start['hw_eff']})")
+    entries: list[dict] = []  # every primary-level run + bracketing probes
+    last_probe = probe_hist[-1]["hw_eff"] if probe_hist else None
+
+    def _probe_between() -> float | None:
+        p = _pair_probe(p_lo, p_hi)
+        if p:
+            p["unix"] = int(time.time())
+            out["probe_history"].append(p)
+            return p["hw_eff"]
+        return None
+
     ratios = []
     for i in range(REPS):
         remaining = deadline - time.time()
@@ -373,6 +442,7 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
                 )
             break
         pair_runs = {}
+        before = last_probe
         for cores in (p_hi, p_lo):
             timeout = min(deadline - time.time(),
                           WORKER_TIMEOUT * max(1, baseline // cores))
@@ -386,8 +456,11 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
                 continue
             _log(f"[bench] local[{cores}] pair-rep {i + 1}: {run['seconds']}s")
             pair_runs[cores] = run
-            if cores not in best or run["seconds"] < best[cores]["seconds"]:
-                best[cores] = run
+        after = _probe_between()
+        last_probe = after if after is not None else last_probe
+        for cores, run in pair_runs.items():
+            entries.append({"cores": cores, "run": run,
+                            "hw_before": before, "hw_after": after})
         if p_hi in pair_runs and p_lo in pair_runs:
             r = (pair_runs[p_hi]["sequences_per_sec"]
                  / pair_runs[p_lo]["sequences_per_sec"]) / (p_hi / p_lo)
@@ -402,28 +475,57 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
             break
         timeout = min(remaining, WORKER_TIMEOUT)
         _log(f"[bench] extra local[{p_hi}] rep {i + 1}/2 (timeout {int(timeout)}s)")
+        before = last_probe
         run = _one_rep(p_hi, rows, input_path, n_files, timeout,
                        out["errors"], f"local[{p_hi}] extra-rep {i + 1}")
+        after = _probe_between()
+        last_probe = after if after is not None else last_probe
         if run is None:
             continue
         _log(f"[bench] local[{p_hi}] extra-rep {i + 1}: {run['seconds']}s")
-        if p_hi not in best or run["seconds"] < best[p_hi]["seconds"]:
-            best[p_hi] = run
-    bw_hi_post = _bandwidth_probe(p_hi)
-    if bw_hi_post and "bandwidth_gbps" in out:
-        out["bandwidth_gbps"][f"procs_{p_hi}_post"] = bw_hi_post
+        entries.append({"cores": p_hi, "run": run,
+                        "hw_before": before, "hw_after": after})
+
+    def _bracket(e: dict) -> float | None:
+        vals = [v for v in (e["hw_before"], e["hw_after"]) if v is not None]
+        return min(vals) if vals else None
+
+    def _minima(pool: list[dict]) -> tuple[dict, dict] | None:
+        lo = [e for e in pool if e["cores"] == p_lo]
+        hi = [e for e in pool if e["cores"] == p_hi]
+        if not (lo and hi):
+            return None
+        key = lambda e: e["run"]["seconds"]  # noqa: E731
+        return min(lo, key=key), min(hi, key=key)
+
+    best: dict[int, dict] = {}
+    for c in (p_lo, p_hi):
+        lvl = [e for e in entries if e["cores"] == c]
+        if lvl:
+            best[c] = min(lvl, key=lambda e: e["run"]["seconds"])["run"]
     for cores, run in best.items():
         out["runs"][f"local[{cores}]"] = run
     out["pairs"] = {}
-    if p_lo in best and p_hi in best:
+    clean = [e for e in entries if (_bracket(e) or 0) >= CLEAN_HW_EFF]
+    chosen = _minima(clean) or _minima(entries)
+    if chosen:
+        e_lo, e_hi = chosen
         eff = round(
-            (best[p_hi]["sequences_per_sec"] / best[p_lo]["sequences_per_sec"])
+            (e_hi["run"]["sequences_per_sec"] / e_lo["run"]["sequences_per_sec"])
             / (p_hi / p_lo), 3,
         )
+        hw_effs = [b for b in (_bracket(e_lo), _bracket(e_hi)) if b is not None]
+        hw_sel = round(sum(hw_effs) / len(hw_effs), 3) if hw_effs else None
         out["pairs"][f"{p_lo}v{p_hi}"] = {
             "scaling_efficiency": eff,
             "per_rep_ratios": sorted(ratios),
-            "counts_match": best[p_lo]["per_sink_counts"] == best[p_hi]["per_sink_counts"],
+            "counts_match": e_lo["run"]["per_sink_counts"] == e_hi["run"]["per_sink_counts"],
+            "phase": "clean" if _minima(clean) else "degraded",
+            "hw_pair_efficiency": hw_sel,
+            "job_vs_hw_ceiling": (
+                round(eff / hw_sel, 3) if hw_sel else None
+            ),
+            "bandwidth_capped": hw_sel is not None and hw_sel < CLEAN_HW_EFF,
         }
 
     # EXTRA pairs (informational — the bandwidth-capped regime): simple
@@ -477,9 +579,11 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     primary = out["pairs"].get(f"{lo}v{hi}")
     if primary:
         out["pair"] = (f"{lo} vs {hi} cores (process tree pinned via taskset;"
-                       " interleaved reps, ratio of per-level minima)")
-        out["scaling_efficiency"] = primary["scaling_efficiency"]
-        out["counts_match"] = primary["counts_match"]
+                       " probe-bracketed interleaved reps, ratio of"
+                       " per-level minima over the cleanest-phase reps)")
+        for k in ("scaling_efficiency", "counts_match", "phase",
+                  "hw_pair_efficiency", "job_vs_hw_ceiling", "bandwidth_capped"):
+            out[k] = primary.get(k)
     return out
 
 
@@ -569,7 +673,11 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(input_dir, ignore_errors=True)
 
-    result = {
+    # Full detail (per-level runs, probe history, calibration, per-sink
+    # counts) goes to a SIDE FILE; the printed line is a bounded summary —
+    # round 2's inlined detail grew past the driver's tail-capture window
+    # and the artifact recorded parsed:null despite rc=0.
+    detail = {
         "metric": "qsvspark headline operator suite + parse-route-aggregate pipeline",
         "value": total,
         "unit": "sec",
@@ -580,8 +688,48 @@ def main() -> None:
         "scaling": scaling,
     }
     if query_errors:
-        result["errors"] = query_errors
-    print(json.dumps(result))
+        detail["errors"] = query_errors
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=2)
+    except OSError as e:  # noqa: PERF203 — the summary line must still print
+        query_errors["__detail_file__"] = repr(e)[:200]
+
+    scaling_summary = None
+    if scaling:
+        scaling_summary = {
+            k: scaling.get(k)
+            for k in ("rows", "scaling_efficiency", "counts_match", "phase",
+                      "hw_pair_efficiency", "job_vs_hw_ceiling",
+                      "bandwidth_capped")
+        }
+        scaling_summary["pairs"] = {
+            k: v.get("scaling_efficiency") for k, v in
+            (scaling.get("pairs") or {}).items()
+        }
+        scaling_summary["rep_errors"] = len(scaling.get("errors") or [])
+    pipeline_summary = None
+    if pipeline:
+        pipeline_summary = {k: pipeline[k]
+                            for k in ("rows", "seconds", "sequences_per_sec")}
+    summary = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extensions": ext_timings,
+        "sf": detail["sf"],
+        "pipeline": pipeline_summary,
+        "scaling": scaling_summary,
+        "errors_count": len(query_errors),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 2800:  # belt-and-braces: never outgrow the tail window
+        summary.pop("extensions", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
