@@ -3,9 +3,9 @@ from qsvspark.streaming.ingest import (
     run_available_now,
     windowed_event_counts,
 )
-from qsvspark.streaming.stateful import dedup_stream_exact
+from qsvspark.streaming.stateful import dedup_stream_exact, dedup_stream_minhash
 
 __all__ = [
     "routed_stream", "run_available_now", "dedup_stream_exact",
-    "windowed_event_counts",
+    "dedup_stream_minhash", "windowed_event_counts",
 ]

@@ -82,3 +82,113 @@ def dedup_stream_exact(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def dedup_stream_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    ttl_minutes: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup candidate pairs: the batch MinHash-LSH banding
+    (qsvspark.functions.dedup.minhash_lsh_pairs, production affine
+    family) with cross-micro-batch state — the 100-TB streaming plan the
+    module docstring promises.
+
+    Per micro-batch, each row gets the same staged signature pipeline as
+    batch (normalized text → one xxhash64 per shingle → affine lanes →
+    band buckets), then state keyed on (band, bucket) holds the member
+    ids seen so far: a new arrival emits one (id_a, id_b) candidate per
+    existing member (id_a < id_b) and joins the bucket. Over any arrival
+    order, the union of emitted pairs equals the batch candidate set on
+    the same corpus (pytest-asserted); pairs sharing several buckets are
+    emitted once per bucket — dedupe downstream exactly like batch's
+    ``.distinct()``.
+
+    Scale properties:
+      - state is O(members) ids per bucket, sharded by the same
+        (band, bucket) key the batch shuffle uses;
+      - ``max_bucket_size`` caps degenerate buckets: a full bucket stops
+        ADMITTING members (their pairs are exact/extreme dups — route
+        through dedup_stream_exact first), bounding both state size and
+        per-arrival emission at the cap (batch drops such buckets
+        entirely at the end; a stream cannot retract, so it truncates);
+      - ``ttl_minutes`` expires idle buckets, bounding unbounded streams.
+    """
+    from qsvspark.functions.dedup import (
+        _MH_PRIME, _norm_text, _shingle_seq, minhash_signature_affine,
+    )
+
+    rows_per_band = num_hashes // bands
+    staged = df.select(F.col(id_col), _norm_text(text_col).alias("__t")).select(
+        F.col(id_col),
+        F.transform(
+            _shingle_seq(F.col("__t"), k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+        ).alias("__hs"),
+    ).select(
+        F.col(id_col),
+        minhash_signature_affine(F.col("__hs"), num_hashes).alias("__sig"),
+    )
+
+    def band_bucket(b: int):
+        vals = [F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        return F.xxhash64(*vals).cast("string")
+
+    banded = staged.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def emit_pairs(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        members: list = list(state.get[0]) if state.exists else []
+        out_a: list = []
+        out_b: list = []
+        arrived = False
+        for pdf in pdfs:
+            for new_id in pdf[id_col]:
+                arrived = True
+                if max_bucket_size is not None and len(members) >= max_bucket_size:
+                    continue  # bucket full — stop admitting (see docstring)
+                for old in members:
+                    a, b = (old, new_id) if old < new_id else (new_id, old)
+                    out_a.append(a)
+                    out_b.append(b)
+                members.append(new_id)
+        if arrived:
+            state.update((members,))
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        emit_pairs,
+        outputStructType=f"id_a {id_type}, id_b {id_type}",
+        stateStructType=f"ids array<{id_type}>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -234,3 +234,105 @@ class TestWatermarkedWindows:
             ).collect()
         )
         assert got == expected and len(got) >= 4
+
+
+class TestStreamingNearDup:
+    """dedup_stream_minhash: cross-batch MinHash-LSH candidate pairs.
+    The union of pairs emitted over any arrival order must equal the
+    batch minhash_lsh_pairs candidate set on the same corpus — including
+    pairs that span micro-batches and stream restarts."""
+
+    CORPUS = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and walks away fast"),
+        (3, "der hund und die katze sind nicht mit dem vogel zu sehen"),
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "the quick brown fox jumps over the lazy dog and runs away quick"),
+    ]
+    DDL = "doc_id bigint, text string"
+
+    def _write_batch(self, spark, inp, name, rows):
+        spark.createDataFrame(rows, self.DDL).coalesce(1).write.parquet(
+            os.path.join(inp, name)
+        )
+
+    def _drain(self, spark, inp, out, ckpt):
+        from qsvspark.streaming import dedup_stream_minhash
+
+        stream = (
+            spark.readStream.schema(self.DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp + "/*/")
+        )
+        q = (
+            dedup_stream_minhash(stream, num_hashes=16, bands=8, k=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def _batch_pairs(self, spark, rows):
+        from qsvspark.functions import minhash_lsh_pairs
+
+        df = spark.createDataFrame(rows, self.DDL)
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, num_hashes=16, bands=8, k=4).collect()
+        }
+
+    def test_stream_pairs_match_batch_across_batches_and_restart(
+        self, spark, tmp_path
+    ):
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        # near-dups deliberately SPLIT across micro-batches (0/1/2 arrive
+        # before 5): their pairs only exist via cross-batch state
+        self._write_batch(spark, inp, "batch1", self.CORPUS[:3])
+        self._write_batch(spark, inp, "batch2", self.CORPUS[3:])
+        streamed = self._drain(spark, inp, out, ckpt)
+        batch = self._batch_pairs(spark, self.CORPUS)
+        assert (0, 1) in batch and (0, 2) in batch  # corpus sanity
+        assert streamed == batch
+
+        # restart with a new arrival that pairs with round-1 members:
+        # state from the checkpoint must produce exactly the new pairs
+        extra = [(6, "the quick brown fox jumps over the lazy dog and runs away fast")]
+        self._write_batch(spark, inp, "batch3", extra)
+        streamed2 = self._drain(spark, inp, out, ckpt)
+        assert streamed2 == self._batch_pairs(spark, self.CORPUS + extra)
+
+    def test_bucket_cap_bounds_state_and_emission(self, spark, tmp_path):
+        """A degenerate bucket (many identical docs) stops admitting at
+        max_bucket_size: emission per arrival and state are bounded."""
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        rows = [(i, "identical boilerplate text repeated forever") for i in range(50)]
+        self._write_batch(spark, inp, "batch1", rows)
+        from qsvspark.streaming import dedup_stream_minhash
+
+        stream = (
+            spark.readStream.schema(self.DDL).parquet(inp + "/*/")
+        )
+        q = (
+            dedup_stream_minhash(stream, num_hashes=16, bands=8, k=4,
+                                 max_bucket_size=5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+        }
+        # 5 admitted members per bucket -> at most C(5,2)=10 distinct pairs
+        assert 0 < len(pairs) <= 10
