@@ -498,6 +498,56 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
         key = lambda e: e["run"]["seconds"]  # noqa: E731
         return min(lo, key=key), min(hi, key=key)
 
+    # Clean-pair hunt: if no rep pair has clean bandwidth brackets yet,
+    # convert leftover budget into ADDITIONAL (hi, lo) attempts taken
+    # only when a fresh probe shows a clean phase — a degraded-phase rep
+    # can never become the reported pair, so waiting strictly beats
+    # burning budget on one. Capped at a share of what remains so the
+    # informational extra levels still run.
+    hunt_deadline = time.time() + 0.5 * max(0.0, deadline - time.time())
+    lo_obs = [e["run"]["seconds"] for e in entries if e["cores"] == p_lo]
+    hi_obs = [e["run"]["seconds"] for e in entries if e["cores"] == p_hi]
+    pair_cost = 1.3 * (min(lo_obs or [WORKER_TIMEOUT]) + min(hi_obs or [WORKER_TIMEOUT]))
+    hunt_round = 0
+    while (_minima([e for e in entries if (_bracket(e) or 0) >= CLEAN_HW_EFF]) is None
+           and time.time() + pair_cost < hunt_deadline):
+        p = _pair_probe(p_lo, p_hi)
+        if p is not None:
+            p["unix"] = int(time.time())
+            out["probe_history"].append(p)
+        if p is None or p["hw_eff"] < CLEAN_HW_EFF:
+            hunt_round += 1
+            _log(f"[bench] clean-pair hunt: phase still degraded "
+                 f"(hw eff {p['hw_eff'] if p else '?'}); waiting {PHASE_WAIT_S}s "
+                 f"(round {hunt_round})")
+            time.sleep(min(PHASE_WAIT_S, max(0.0, hunt_deadline - time.time())))
+            continue
+        before = p["hw_eff"]
+        last_probe = before
+        hunt_runs: dict[int, dict] = {}
+        for cores in (p_hi, p_lo):
+            timeout = min(hunt_deadline - time.time(),
+                          WORKER_TIMEOUT * max(1, baseline // cores))
+            if timeout < 30:
+                break
+            _log(f"[bench] clean-pair hunt rep: local[{cores}] "
+                 f"(timeout {int(timeout)}s)")
+            run = _one_rep(cores, rows, input_path, n_files, timeout,
+                           out["errors"], f"local[{cores}] hunt-rep")
+            if run is None:
+                continue
+            _log(f"[bench] local[{cores}] hunt-rep: {run['seconds']}s")
+            hunt_runs[cores] = run
+        after = _probe_between()
+        last_probe = after if after is not None else last_probe
+        for cores, run in hunt_runs.items():
+            entries.append({"cores": cores, "run": run,
+                            "hw_before": before, "hw_after": after})
+        if p_hi in hunt_runs and p_lo in hunt_runs:
+            r = (hunt_runs[p_hi]["sequences_per_sec"]
+                 / hunt_runs[p_lo]["sequences_per_sec"]) / (p_hi / p_lo)
+            ratios.append(round(r, 3))
+
     best: dict[int, dict] = {}
     for c in (p_lo, p_hi):
         lvl = [e for e in entries if e["cores"] == c]

@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salted", action="store_true",
                     help="two-level salted aggregation for heavy-hitter keys")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort-order columns for the routed "
+                         "sink layout (e.g. source,n_tok) — parquet min/max "
+                         "row-group pruning for downstream filters")
+    ap.add_argument("--compact-sinks", action="store_true",
+                    help="after the run, bin-pack the routed sink's small "
+                         "files (Iceberg rewrite_data_files equivalent)")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="compaction target data-file size")
     args = ap.parse_args(argv)
 
     # On a cluster, spark-submit provides the session config (master,
@@ -60,8 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         parse_mode=args.parse_mode,
         bucket_width=args.bucket_width,
         salted=args.salted,
+        route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
     )
     metrics = pipe.run(tokens, input_fingerprint=args.fingerprint)
+    if args.compact_sinks:
+        m = pipe.compact_sinks(target_file_bytes=args.target_file_mb * 1024 * 1024)
+        metrics["compaction"] = (
+            {"snapshot": m["snapshot"], "files": len(pipe.catalog.data_files("routed"))}
+            if m else "already-compact"
+        )
     print(json.dumps(metrics))
     spark.stop()
     return 0

@@ -114,6 +114,7 @@ class SnapshotCatalog:
         partition_by: str | None = None,
         count_by: str | None = None,
         compression: str = "snappy",
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -123,8 +124,16 @@ class SnapshotCatalog:
         is an ``Observation`` metric collected DURING the write job, and
         per-partition counts come from parquet footers (when partitioned
         by the count key) or one column-pruned aggregate otherwise.
+
+        cluster_by: sort each write task's rows by these columns before
+        encoding (Iceberg's sort-order data layout). Narrow (no shuffle)
+        — the point is parquet min/max locality: row groups inside each
+        file cover disjoint ranges of the cluster columns, so downstream
+        point/range filters prune row groups instead of scanning them.
         """
         t0 = time.time()
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
         snaps = self._snaps(table)
         snap = f"snap-{len(snaps) + 1:05d}"
         snap_dir = os.path.join(self._table_dir(table), snap)
@@ -173,6 +182,7 @@ class SnapshotCatalog:
             "partition_by": partition_by,
             "input_fingerprint": input_fingerprint,
             "lineage": lineage or {},
+            "cluster_by": cluster_by,
             "metrics": {"write_seconds": round(time.time() - t0, 3)},
         }
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
@@ -188,3 +198,105 @@ class SnapshotCatalog:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         return spark.read.parquet(os.path.join(self._table_dir(table), snap, "data"))
+
+    # -- maintenance ------------------------------------------------
+
+    def data_files(self, table: str, snap: str | None = None) -> list[dict]:
+        """List a snapshot's data files with sizes and partition value.
+
+        The emulation-layer stand-in for Iceberg's manifest file list —
+        a real catalog answers this from metadata, never by listing
+        storage; here the snapshot directory IS the metadata scope, so
+        the walk stays bounded to one snapshot.
+        """
+        snap = snap or self.current_snapshot(table)
+        if snap is None:
+            return []
+        data_dir = os.path.join(self._table_dir(table), snap, "data")
+        out: list[dict] = []
+        for root, _, files in os.walk(data_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(root, data_dir)
+                part = None
+                if rel != "." and "=" in rel:
+                    part = urllib.parse.unquote(rel.split("=", 1)[1])
+                out.append({"path": p, "bytes": os.path.getsize(p), "partition": part})
+        return out
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+        snap: str | None = None,
+        force: bool = False,
+    ) -> dict | None:
+        """Bin-pack a snapshot's small data files into ~target-size files
+        (Iceberg ``rewrite_data_files``), committed as a NEW snapshot.
+
+        Routed sinks accumulate (write-tasks × sinks) files per run; at
+        10^12-row scale that is the classic small-files pattern — tiny
+        row groups, metadata-bound scans. The rewrite is ONE Spark job:
+        an AQE ``REBALANCE`` shuffle (coalesces small partitions AND
+        splits skewed ones to ``advisoryPartitionSizeInBytes``) followed
+        by the normal snapshot write, so output tasks — hence files —
+        land near the target size without any driver-side file math.
+
+        The new snapshot carries the SOURCE's input_fingerprint: it is
+        the same logical data, so ``find_committed`` resume now lands on
+        the compacted copy. Row preservation is checked by the caller's
+        manifest (Observation row_count + footer partition counts).
+
+        Returns the new manifest, or None when the snapshot is already
+        compact (fewer than 2 sub-target files anywhere — nothing to
+        bin-pack) and ``force`` is not set.
+
+        cluster_by: also sort within the rewritten tasks (sort-based
+        rewrite) — compaction is the natural moment to fix layout.
+        """
+        src = snap or self.current_snapshot(table)
+        m = self.manifest(table, src)
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
+        files = self.data_files(table, src)
+        small = [f for f in files if f["bytes"] < 0.75 * target_file_bytes]
+        if not force and len(small) < 2:
+            return None
+        df = self.read(spark, table, src)
+        key = m.get("partition_by")
+        # REBALANCE is AQE-only: size the post-shuffle partitions by
+        # advisory bytes for the duration of this one write. (Shuffle
+        # bytes ≠ encoded parquet bytes; like Iceberg's rewrite we accept
+        # the compression-ratio slack rather than probe it.)
+        conf = spark.conf
+        advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        old = conf.get(advisory_key, None)
+        conf.set(advisory_key, str(target_file_bytes))
+        try:
+            balanced = df.hint("rebalance", key) if key else df.hint("rebalance")
+            manifest = self.write(
+                balanced,
+                table,
+                input_fingerprint=m.get("input_fingerprint", ""),
+                lineage={
+                    "op": "compact",
+                    "source_snapshot": src,
+                    "target_file_bytes": target_file_bytes,
+                    "source_files": len(files),
+                },
+                partition_by=key,
+                count_by=key,
+                compression="snappy",
+                cluster_by=cluster_by,
+            )
+        finally:
+            if old is None:
+                conf.unset(advisory_key)
+            else:
+                conf.set(advisory_key, old)
+        return manifest

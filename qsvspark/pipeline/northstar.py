@@ -213,6 +213,7 @@ class NorthStarPipeline:
         salt_buckets: int = 32,
         route_tasks_per_core: int | None = None,
         codec: str | None = None,
+        route_cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -230,6 +231,10 @@ class NorthStarPipeline:
             os.environ.get("QSVSPARK_ROUTE_TASKS_PER_CORE", "4")
         )
         self.codec = codec or os.environ.get("QSVSPARK_ROUTE_CODEC", "snappy")
+        # sort-order layout for the routed sink (e.g. ["source", "n_tok"]):
+        # narrow per-task sort so downstream source/n_tok filters prune
+        # parquet row groups via min/max stats instead of scanning
+        self.route_cluster_by = route_cluster_by
 
     def _config_fp(self, input_fingerprint: str, stage: str) -> str:
         return (
@@ -278,6 +283,7 @@ class NorthStarPipeline:
                 partition_by="sink",
                 count_by="sink",
                 compression=self.codec,
+                cluster_by=self.route_cluster_by,
             )
             metrics["stages"]["route"] = round(time.time() - t0, 3)
             routed = self.catalog.read(self.spark, "routed")
@@ -312,6 +318,24 @@ class NorthStarPipeline:
         metrics["total_seconds"] = round(total, 3)
         metrics["sequences_per_sec"] = round(metrics["rows"] / total, 1) if total else None
         return metrics
+
+    # -- maintenance --------------------------------------------------
+
+    def compact_sinks(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> dict | None:
+        """Bin-pack the routed sink's small files (Iceberg
+        rewrite_data_files); see SnapshotCatalog.compact. Run this after
+        N pipeline increments have fragmented the sinks — resume
+        fingerprints carry over, so later runs read the compacted copy."""
+        return self.catalog.compact(
+            self.spark,
+            "routed",
+            target_file_bytes=target_file_bytes,
+            cluster_by=cluster_by if cluster_by is not None else self.route_cluster_by,
+        )
 
     # -- results ------------------------------------------------------
 

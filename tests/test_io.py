@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from qsvspark import Q
 from qsvspark.errors import LoadError
@@ -244,3 +245,69 @@ class TestSnapshotCatalog:
         assert cat.read(spark, "t").count() == 1
         # older snapshot still readable (time travel)
         assert cat.read(spark, "t", "snap-00001").count() == 3
+
+
+class TestCompaction:
+    """SnapshotCatalog.compact = Iceberg rewrite_data_files: bin-pack a
+    fragmented snapshot's files into ~target-size files in ONE AQE
+    REBALANCE job, commit as a new snapshot that inherits the source's
+    input_fingerprint so resume lands on the compacted copy."""
+
+    def _fragmented(self, spark, cat, rows=4000, parts=16):
+        df = (
+            spark.range(rows)
+            .select(
+                F.col("id"),
+                (F.col("id") % 4).cast("string").alias("sink"),
+                F.concat(F.lit("p"), (F.col("id") % 97).cast("string")).alias("payload"),
+            )
+            .repartition(parts)
+        )
+        return cat.write(df, "routed", input_fingerprint="fpX",
+                         partition_by="sink", count_by="sink")
+
+    def test_compact_preserves_rows_and_counts(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whc"))
+        src = self._fragmented(spark, cat)
+        n_before = len(cat.data_files("routed", "snap-00001"))
+        assert n_before >= 32  # 16 tasks × up to 4 sinks → fragmented
+        m = cat.compact(spark, "routed", target_file_bytes=64 * 1024 * 1024)
+        assert m is not None and m["snapshot"] == "snap-00002"
+        n_after = len(cat.data_files("routed"))
+        assert n_after < n_before and n_after <= 8
+        assert m["row_count"] == src["row_count"]
+        assert m["partition_counts"] == src["partition_counts"]
+        a = cat.read(spark, "routed", "snap-00001")
+        b = cat.read(spark, "routed", "snap-00002")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # resume: the SAME fingerprint now resolves to the compacted snap
+        assert cat.find_committed("routed", "fpX") == "snap-00002"
+        assert m["lineage"]["op"] == "compact"
+        assert m["lineage"]["source_snapshot"] == "snap-00001"
+
+    def test_already_compact_is_noop(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whn"))
+        df = spark.range(100).coalesce(1)
+        cat.write(df, "t", input_fingerprint="fp")
+        assert cat.compact(spark, "t", target_file_bytes=64 * 1024 * 1024) is None
+        assert cat.current_snapshot("t") == "snap-00001"
+
+    def test_cluster_by_sorts_within_files(self, spark, tmp_path):
+        """cluster_by layout: every written file is internally sorted on
+        the cluster column, so parquet min/max stats prune row groups for
+        point/range predicates."""
+        import pyarrow.parquet as pq
+
+        cat = SnapshotCatalog(str(tmp_path / "whs"))
+        df = (
+            spark.range(5000)
+            .select((F.xxhash64("id") % 1000).alias("n_tok"), F.col("id"))
+            .repartition(4)
+        )
+        cat.write(df, "t", input_fingerprint="fp", cluster_by=["n_tok"])
+        files = cat.data_files("t")
+        assert files
+        for f in files:
+            col = pq.read_table(f["path"], columns=["n_tok"])["n_tok"].to_pylist()
+            assert col == sorted(col)
+        assert cat.manifest("t")["cluster_by"] == ["n_tok"]

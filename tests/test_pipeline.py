@@ -154,3 +154,31 @@ class TestPipelineEndToEnd:
         m = pipe.run(small, input_fingerprint="synth-n500-s99")
         assert m["resumed"] == []
         assert m["rows"] == 500
+
+
+class TestSinkMaintenance:
+    def test_compact_sinks_preserves_pipeline_outputs(
+        self, spark, tokens, tmp_path_factory
+    ):
+        """Compaction (Iceberg rewrite_data_files) between pipeline runs:
+        fewer files, identical routed rows + per-sink counts, and resume
+        reads the compacted snapshot without recomputing the route."""
+        wh = str(tmp_path_factory.mktemp("wh_compact"))
+        pipe = NorthStarPipeline(
+            spark, wh, parse_mode="pandas", route_tasks_per_core=1,
+            route_cluster_by=["source", "n_tok"],
+        )
+        fp = f"synth-n{N}-s{SEED}-compact"
+        first = pipe.run(tokens, input_fingerprint=fp)
+        before = pipe.routed()
+        n_before = len(pipe.catalog.data_files("routed"))
+        m = pipe.compact_sinks(target_file_bytes=64 * 1024 * 1024)
+        assert m is not None
+        assert m["partition_counts"] == first["per_sink_counts"]
+        assert len(pipe.catalog.data_files("routed")) < n_before
+        after = pipe.routed()
+        assert before.exceptAll(after).count() == 0
+        assert after.exceptAll(before).count() == 0
+        again = pipe.run(tokens, input_fingerprint=fp)
+        assert "route" in again["resumed"]
+        assert again["per_sink_counts"] == first["per_sink_counts"]
