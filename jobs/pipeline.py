@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
                          "files (Iceberg rewrite_data_files equivalent)")
     ap.add_argument("--target-file-mb", type=int, default=128,
                     help="compaction target data-file size")
+    ap.add_argument("--increment", action="store_true",
+                    help="append-only increment: route ONLY this input and "
+                         "chain it onto the committed routed table; "
+                         "aggregates maintained incrementally")
+    ap.add_argument("--distinct-mode", default="merge",
+                    choices=["merge", "recompute"],
+                    help="increment aggregate maintenance: 'merge' re-sums "
+                         "partials (exact when a doc_id never spans two "
+                         "increments), 'recompute' scans the full chain")
     args = ap.parse_args(argv)
 
     # On a cluster, spark-submit provides the session config (master,
@@ -71,7 +80,11 @@ def main(argv: list[str] | None = None) -> int:
         salted=args.salted,
         route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
     )
-    metrics = pipe.run(tokens, input_fingerprint=args.fingerprint)
+    if args.increment:
+        metrics = pipe.run_increment(tokens, args.fingerprint,
+                                     distinct_mode=args.distinct_mode)
+    else:
+        metrics = pipe.run(tokens, input_fingerprint=args.fingerprint)
     if args.compact_sinks:
         m = pipe.compact_sinks(target_file_bytes=args.target_file_mb * 1024 * 1024)
         metrics["compaction"] = (

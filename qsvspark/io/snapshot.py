@@ -115,8 +115,15 @@ class SnapshotCatalog:
         count_by: str | None = None,
         compression: str = "snappy",
         cluster_by: list[str] | None = None,
+        parent: str | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
+
+        parent: chain this snapshot onto an existing one (Iceberg APPEND
+        semantics): the new snapshot's data dir holds ONLY the delta rows;
+        reads resolve the parent chain. The manifest keeps the delta's
+        row_count/partition_counts plus running ``cumulative_*`` totals,
+        so per-partition accounting stays one manifest read deep.
 
         count_by: a column whose per-value row counts go in the manifest
         (the per-partition lineage/metrics the north rule requires).
@@ -171,6 +178,22 @@ class SnapshotCatalog:
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
+        cum_total, cum_parts = total, per_part
+        if parent is not None:
+            pm = self.manifest(table, parent)
+            if pm is None:
+                raise FileNotFoundError(f"parent snapshot '{parent}' has no manifest")
+            if pm.get("partition_by") != partition_by:
+                raise ValueError(
+                    f"append partitioning mismatch: parent {pm.get('partition_by')!r} "
+                    f"vs delta {partition_by!r}"
+                )
+            cum_total = pm.get("cumulative_row_count", pm["row_count"]) + total
+            pc = pm.get("cumulative_partition_counts") or pm.get("partition_counts")
+            if pc is not None and per_part is not None:
+                cum_parts = dict(pc)
+                for k, v in per_part.items():
+                    cum_parts[k] = cum_parts.get(k, 0) + v
         manifest = {
             "table": table,
             "snapshot": snap,
@@ -179,6 +202,9 @@ class SnapshotCatalog:
             "schema": spark.read.parquet(data_dir).schema.jsonValue(),
             "row_count": total,
             "partition_counts": per_part,
+            "cumulative_row_count": cum_total,
+            "cumulative_partition_counts": cum_parts,
+            "parent": parent,
             "partition_by": partition_by,
             "input_fingerprint": input_fingerprint,
             "lineage": lineage or {},
@@ -193,37 +219,81 @@ class SnapshotCatalog:
 
     # -- read -------------------------------------------------------
 
-    def read(self, spark: SparkSession, table: str, snap: str | None = None) -> DataFrame:
+    def _chain(self, table: str, snap: str) -> list[str]:
+        """Snapshot ids from the chain root to ``snap`` (oldest first)."""
+        chain: list[str] = []
+        cur: str | None = snap
+        while cur is not None:
+            chain.append(cur)
+            m = self.manifest(table, cur)
+            cur = m.get("parent") if m else None
+        return list(reversed(chain))
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snap: str | None = None,
+        *,
+        follow_parents: bool = True,
+    ) -> DataFrame:
+        """Read a snapshot. Append chains resolve to a union of
+        per-snapshot scans (Spark's partitioned-parquet discovery requires
+        one directory structure per root, so chained roots can't share a
+        FileScan); predicate pushdown and partition pruning apply to every
+        branch, and compaction resets chain length to 1 so plans stay
+        bounded. follow_parents=False reads only the snapshot's own
+        delta."""
         snap = snap or self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
-        return spark.read.parquet(os.path.join(self._table_dir(table), snap, "data"))
+        snaps = self._chain(table, snap) if follow_parents else [snap]
+        dfs = [
+            spark.read.parquet(os.path.join(self._table_dir(table), s, "data"))
+            for s in snaps
+        ]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        return df
 
     # -- maintenance ------------------------------------------------
 
-    def data_files(self, table: str, snap: str | None = None) -> list[dict]:
-        """List a snapshot's data files with sizes and partition value.
+    def data_files(
+        self,
+        table: str,
+        snap: str | None = None,
+        *,
+        follow_parents: bool = True,
+    ) -> list[dict]:
+        """List a snapshot's data files with sizes and partition value
+        (append chains included unless follow_parents=False).
 
         The emulation-layer stand-in for Iceberg's manifest file list —
         a real catalog answers this from metadata, never by listing
         storage; here the snapshot directory IS the metadata scope, so
-        the walk stays bounded to one snapshot.
+        the walk stays bounded to the snapshot chain.
         """
         snap = snap or self.current_snapshot(table)
         if snap is None:
             return []
-        data_dir = os.path.join(self._table_dir(table), snap, "data")
+        snaps = self._chain(table, snap) if follow_parents else [snap]
         out: list[dict] = []
-        for root, _, files in os.walk(data_dir):
-            for fn in sorted(files):
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(root, fn)
-                rel = os.path.relpath(root, data_dir)
-                part = None
-                if rel != "." and "=" in rel:
-                    part = urllib.parse.unquote(rel.split("=", 1)[1])
-                out.append({"path": p, "bytes": os.path.getsize(p), "partition": part})
+        for s in snaps:
+            data_dir = os.path.join(self._table_dir(table), s, "data")
+            for root, _, files in os.walk(data_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    rel = os.path.relpath(root, data_dir)
+                    part = None
+                    if rel != "." and "=" in rel:
+                        part = urllib.parse.unquote(rel.split("=", 1)[1])
+                    out.append(
+                        {"path": p, "bytes": os.path.getsize(p),
+                         "partition": part, "snapshot": s}
+                    )
         return out
 
     def compact(
@@ -258,6 +328,10 @@ class SnapshotCatalog:
 
         cluster_by: also sort within the rewritten tasks (sort-based
         rewrite) — compaction is the natural moment to fix layout.
+
+        Append chains are flattened: the rewrite reads the whole parent
+        chain and commits a parent-less snapshot whose counts equal the
+        chain's cumulative totals, so chain length resets to 1.
         """
         src = snap or self.current_snapshot(table)
         m = self.manifest(table, src)

@@ -319,6 +319,124 @@ class NorthStarPipeline:
         metrics["sequences_per_sec"] = round(metrics["rows"] / total, 1) if total else None
         return metrics
 
+    # -- incremental runs ---------------------------------------------
+
+    def run_increment(
+        self,
+        tokens: DataFrame,
+        increment_fingerprint: str,
+        distinct_mode: str = "merge",
+    ) -> dict:
+        """Process ONE increment of newly-arrived tokens: parse → enrich →
+        route the delta and APPEND it to the routed sinks (snapshot chain),
+        then maintain the aggregates incrementally.
+
+        This is the steady-state operating mode at 10^12-sequence scale:
+        a daily increment routes only its own rows — the committed bulk is
+        never re-read — while reads of the routed table resolve the whole
+        chain as one multi-path scan.
+
+        distinct_mode:
+          - "merge" (default): aggregate the delta only, then re-sum with
+            the previous aggregates (the aggregate table is tiny — one row
+            per sink × source × bucket). seq_count/tok_sum are exactly
+            additive; uniq_docs is exact UNDER THE APPEND-ONLY CONTRACT
+            that a doc_id never appears in two increments (the normal
+            training-ingest invariant). If increments can re-ship doc_ids,
+            use "recompute".
+          - "recompute": aggregate over the full routed chain — always
+            exact, costs a full scan of the routed columns involved.
+
+        Resumable like run(): each increment's route/aggregate snapshots
+        are fingerprinted; re-running a committed increment skips it.
+        """
+        if distinct_mode not in ("merge", "recompute"):
+            raise ValueError(f"unknown distinct_mode '{distinct_mode}'")
+        metrics: dict = {"stages": {}, "resumed": [], "increment": increment_fingerprint}
+        t_start = time.time()
+        dim = source_dim(self.spark, self.num_sources, self.num_sinks)
+
+        inc_fp = self._config_fp(increment_fingerprint, "route-increment")
+        snap = self.catalog.find_committed("routed", inc_fp)
+        if snap:
+            metrics["resumed"].append("route")
+            manifest = self.catalog.manifest("routed", snap)
+        else:
+            t0 = time.time()
+            parsed = parse_stage(tokens, self.parse_mode)
+            enriched = enrich_stage(parsed, dim)
+            target = self.route_tasks_per_core * self.spark.sparkContext.defaultParallelism
+            parent = self.catalog.current_snapshot("routed")
+            manifest = self.catalog.write(
+                enriched.coalesce(max(target, 1)),
+                "routed",
+                input_fingerprint=inc_fp,
+                lineage={
+                    "stages": ["parse", "enrich", "route"],
+                    "parse_mode": self.parse_mode,
+                    "inputs": [increment_fingerprint],
+                    "op": "append-increment",
+                },
+                partition_by="sink",
+                count_by="sink",
+                compression=self.codec,
+                cluster_by=self.route_cluster_by,
+                parent=parent,
+            )
+            metrics["stages"]["route"] = round(time.time() - t0, 3)
+        metrics["delta_rows"] = manifest["row_count"]
+        metrics["delta_per_sink_counts"] = manifest["partition_counts"]
+        metrics["rows"] = manifest["cumulative_row_count"]
+        metrics["per_sink_counts"] = manifest["cumulative_partition_counts"]
+
+        agg_fp = self._config_fp(
+            increment_fingerprint, f"aggregate-increment|mode={distinct_mode}"
+        )
+        if self.catalog.find_committed("aggregates", agg_fp):
+            metrics["resumed"].append("aggregate")
+        else:
+            t0 = time.time()
+            if distinct_mode == "recompute":
+                aggs = aggregate_stage(self.routed(), self.bucket_width)
+            else:
+                delta = self.catalog.read(
+                    self.spark, "routed", manifest["snapshot"], follow_parents=False
+                )
+                delta_agg = aggregate_stage(delta, self.bucket_width)
+                prev_snap = self.catalog.current_snapshot("aggregates")
+                if prev_snap is None:
+                    aggs = delta_agg
+                else:
+                    prev = self.catalog.read(self.spark, "aggregates", prev_snap)
+                    aggs = (
+                        prev.unionByName(delta_agg)
+                        .groupBy("sink", "source", "n_tok_bucket")
+                        .agg(
+                            F.sum("seq_count").alias("seq_count"),
+                            F.sum("uniq_docs").alias("uniq_docs"),
+                            F.sum("tok_sum").alias("tok_sum"),
+                        )
+                    )
+            self.catalog.write(
+                aggs,
+                "aggregates",
+                input_fingerprint=agg_fp,
+                lineage={
+                    "stages": ["aggregate"],
+                    "inputs": [inc_fp],
+                    "op": f"aggregate-increment-{distinct_mode}",
+                },
+                count_by="sink",
+            )
+            metrics["stages"]["aggregate"] = round(time.time() - t0, 3)
+
+        total = time.time() - t_start
+        metrics["total_seconds"] = round(total, 3)
+        metrics["sequences_per_sec"] = (
+            round(metrics["delta_rows"] / total, 1) if total else None
+        )
+        return metrics
+
     # -- maintenance --------------------------------------------------
 
     def compact_sinks(

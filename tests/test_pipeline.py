@@ -156,6 +156,99 @@ class TestPipelineEndToEnd:
         assert m["rows"] == 500
 
 
+class TestIncrementalRuns:
+    """run_increment: append-only steady state — each increment routes
+    only its own rows (snapshot chain), aggregates maintained
+    incrementally; equality vs a single full computation is the oracle."""
+
+    def _halves(self, tokens):
+        h = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+        return tokens.filter(h == 0), tokens.filter(h == 1)
+
+    @pytest.fixture(scope="class")
+    def inc_setup(self, spark, tokens, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_inc"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        inc1, inc2 = self._halves(tokens)
+        m1 = pipe.run_increment(inc1, "inc-1")
+        m2 = pipe.run_increment(inc2, "inc-2")
+        return pipe, m1, m2
+
+    def _direct_full(self, spark, tokens):
+        return aggregate_stage(
+            enrich_stage(parse_stage(tokens, "pandas"), source_dim(spark))
+        )
+
+    def test_cumulative_counts_and_chain_read(self, spark, tokens, inc_setup):
+        pipe, m1, m2 = inc_setup
+        assert m1["delta_rows"] + m2["delta_rows"] == N
+        assert m2["rows"] == N
+        assert pipe.routed().count() == N
+        dim = source_dim(spark)
+        direct = {
+            r["sink"]: r["n"]
+            for r in tokens.join(F.broadcast(dim), "source")
+            .groupBy("sink").agg(F.count("*").alias("n")).collect()
+        }
+        assert m2["per_sink_counts"] == direct
+
+    def test_chain_scan_count_and_pruning(self, inc_setup):
+        """A 2-increment chain reads as 2 parquet scans (one per
+        snapshot), and a sink filter partition-prunes BOTH branches."""
+        pipe, _, _ = inc_setup
+        plan = pipe.routed()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 2
+        fplan = (
+            pipe.routed().filter(F.col("sink") == "sink_0")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert fplan.count("PartitionFilters: [isnotnull(sink") == 2
+
+    def test_merge_aggregates_equal_full_computation(self, spark, tokens, inc_setup):
+        pipe, _, _ = inc_setup
+        direct = self._direct_full(spark, tokens)
+        got = pipe.aggregates()
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+    def test_recompute_mode_equals_full_computation(self, spark, tokens,
+                                                    tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_inc_rc"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        inc1, inc2 = self._halves(tokens)
+        pipe.run_increment(inc1, "inc-1", distinct_mode="recompute")
+        pipe.run_increment(inc2, "inc-2", distinct_mode="recompute")
+        direct = self._direct_full(spark, tokens)
+        got = pipe.aggregates()
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+    def test_committed_increment_resumes(self, tokens, inc_setup):
+        pipe, _, m2 = inc_setup
+        _, inc2 = self._halves(tokens)
+        again = pipe.run_increment(inc2, "inc-2")
+        assert set(again["resumed"]) == {"route", "aggregate"}
+        assert again["per_sink_counts"] == m2["per_sink_counts"]
+
+    def test_compact_flattens_chain(self, spark, tokens, inc_setup):
+        pipe, _, m2 = inc_setup
+        snaps_before = {f["snapshot"] for f in pipe.catalog.data_files("routed")}
+        assert len(snaps_before) == 2  # two increments chained
+        before = pipe.routed()
+        m = pipe.compact_sinks(target_file_bytes=64 * 1024 * 1024)
+        assert m is not None and m["parent"] is None
+        assert m["row_count"] == N
+        assert m["cumulative_row_count"] == N
+        assert m["partition_counts"] == m2["per_sink_counts"]
+        snaps_after = {f["snapshot"] for f in pipe.catalog.data_files("routed")}
+        assert len(snaps_after) == 1
+        after = pipe.routed()
+        assert before.exceptAll(after).count() == 0
+        assert after.exceptAll(before).count() == 0
+
+
 class TestSinkMaintenance:
     def test_compact_sinks_preserves_pipeline_outputs(
         self, spark, tokens, tmp_path_factory
