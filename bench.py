@@ -650,6 +650,24 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     query_errors: dict[str, str] = {}
+    # Untimed warmup: first-use JVM costs (codegen JIT, noop-sink init,
+    # Arrow Python-worker spawn) land on whichever query runs first —
+    # rounds 1–2 charged ~1.4 s of it to `select`. Steady state is what
+    # the suite measures (the scaling section already excludes warmup);
+    # noted for cross-round comparability in BASELINE.md §4.
+    try:
+        import pandas as _wpd
+        from pyspark.sql.functions import pandas_udf as _wpudf
+
+        @_wpudf("double")
+        def _warm_udf(s: _wpd.Series) -> _wpd.Series:
+            return s * 1.0
+
+        warm = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        warm = warm.limit(20000).withColumn("__w", _warm_udf(warm["value"]))
+        warm.write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
+        _log(f"[bench] warmup skipped: {e!r}")
     for name in HEADLINE:
         try:
             df = qs[name](spark, SF_DIR)
@@ -713,6 +731,23 @@ def main() -> None:
             "sequences_per_sec": round(SCALE_ROWS / pipe_wall, 1),
             "per_sink_counts": pm["per_sink_counts"],
         }
+
+        # steady-state increment: route a 10% "day 2" batch and append it
+        # onto the committed table — the operating mode where the bulk is
+        # never re-read; throughput is per DELTA row
+        inc_rows = max(SCALE_ROWS // 10, 1)
+        from qsvspark.pipeline.tokens import synth_tokens
+
+        day2 = synth_tokens(spark, inc_rows, id_offset=SCALE_ROWS)
+        t0 = time.time()
+        im = pipe.run_increment(day2, f"bench-inc-{inc_rows}")
+        inc_wall = round(time.time() - t0, 3)
+        pipeline["increment"] = {
+            "delta_rows": im["delta_rows"],
+            "seconds": inc_wall,
+            "sequences_per_sec": round(im["delta_rows"] / inc_wall, 1),
+            "cumulative_rows": im["rows"],
+        }
         spark.stop()
 
         if not SKIP_SCALING:
@@ -763,6 +798,10 @@ def main() -> None:
     if pipeline:
         pipeline_summary = {k: pipeline[k]
                             for k in ("rows", "seconds", "sequences_per_sec")}
+        if "increment" in pipeline:
+            pipeline_summary["increment_seq_per_sec"] = (
+                pipeline["increment"]["sequences_per_sec"]
+            )
     summary = {
         "metric": detail["metric"],
         "value": total,

@@ -51,9 +51,13 @@ def synth_tokens(
     num_sources: int = 20,
     zipf_s: float = 1.2,
     num_partitions: int | None = None,
+    id_offset: int = 0,
 ) -> DataFrame:
-    """n rows of (doc_id, tokens, n_tok, source), deterministic in (n, seed)."""
-    df = spark.range(0, n, numPartitions=num_partitions)
+    """n rows of (doc_id, tokens, n_tok, source), deterministic in
+    (n, seed, id_offset). id_offset shifts the underlying row-id range so
+    separately-generated batches have DISJOINT doc_ids — the append-only
+    increment contract (a doc_id never spans two increments)."""
+    df = spark.range(id_offset, id_offset + n, numPartitions=num_partitions)
     rid = F.col("id")
     u = (F.pmod(F.xxhash64(rid, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
     source = _source_expr(u, num_sources, zipf_s)
