@@ -1,4 +1,5 @@
 from qsvspark.streaming.ingest import (
+    incremental_ingest,
     routed_stream,
     run_available_now,
     windowed_event_counts,
@@ -6,6 +7,6 @@ from qsvspark.streaming.ingest import (
 from qsvspark.streaming.stateful import dedup_stream_exact, dedup_stream_minhash
 
 __all__ = [
-    "routed_stream", "run_available_now", "dedup_stream_exact",
+    "incremental_ingest", "routed_stream", "run_available_now", "dedup_stream_exact",
     "dedup_stream_minhash", "windowed_event_counts",
 ]

@@ -61,6 +61,48 @@ def run_available_now(
         .start()
     )
 
+def incremental_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    pipe,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    distinct_mode: str = "merge",
+) -> StreamingQuery:
+    """Continuous catalog ingestion: each micro-batch of arriving token
+    files becomes ONE pipeline increment (`NorthStarPipeline.run_increment`)
+    — appended to the routed snapshot chain with incremental aggregate
+    maintenance, instead of landing in a bare directory.
+
+    Exactly-once comes from BOTH layers agreeing: the stream checkpoint
+    guarantees a micro-batch (same id, same files) is redelivered — not
+    duplicated — after a crash, and the increment fingerprint
+    ``stream-{batch_id}`` makes redelivery idempotent (the committed
+    route/aggregate snapshots are found and skipped). A batch that died
+    mid-write left an uncommitted snapshot, which resume ignores.
+
+    ``pipe``: a NorthStarPipeline whose warehouse receives the increments.
+    """
+    tokens = (
+        spark.readStream.schema(TOKENS_DDL).format("parquet")
+    )
+    if max_files_per_trigger:
+        tokens = tokens.option("maxFilesPerTrigger", str(max_files_per_trigger))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        pipe.run_increment(
+            batch_df, f"stream-{batch_id}", distinct_mode=distinct_mode
+        )
+
+    return (
+        tokens.load(input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 

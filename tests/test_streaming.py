@@ -10,8 +10,13 @@ from pyspark.sql import functions as F
 
 from qsvspark.pipeline import synth_tokens
 from qsvspark.pipeline.tokens import source_dim
-from qsvspark.pipeline.northstar import enrich_stage, parse_stage
-from qsvspark.streaming import routed_stream, run_available_now
+from qsvspark.pipeline.northstar import (
+    NorthStarPipeline,
+    aggregate_stage,
+    enrich_stage,
+    parse_stage,
+)
+from qsvspark.streaming import incremental_ingest, routed_stream, run_available_now
 
 
 @pytest.fixture(scope="module")
@@ -78,6 +83,51 @@ class TestStreamingIngest:
             .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert streamed == direct
+
+
+class TestIncrementalIngest:
+    """foreachBatch → run_increment: streamed micro-batches land in the
+    snapshot catalog as fingerprinted increments; the checkpoint and the
+    fingerprints together give exactly-once end to end."""
+
+    @pytest.fixture(scope="class")
+    def inc_dirs(self, spark, tmp_path_factory):
+        base = tmp_path_factory.mktemp("stream_inc")
+        inp, wh, ckpt = str(base / "in"), str(base / "wh"), str(base / "ckpt")
+        synth_tokens(spark, 2000, seed=21, num_partitions=1).write.parquet(
+            os.path.join(inp, "day1")
+        )
+        synth_tokens(spark, 1500, seed=21, num_partitions=1,
+                     id_offset=2000).write.parquet(os.path.join(inp, "day2"))
+        return inp, wh, ckpt
+
+    def test_streamed_increments_match_one_batch_run(self, spark, inc_dirs):
+        inp, wh, ckpt = inc_dirs
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        q = incremental_ingest(spark, inp + "/*/", pipe, ckpt,
+                               max_files_per_trigger=1)
+        q.awaitTermination(180)
+        all_tokens = spark.read.parquet(inp + "/*/")
+        assert pipe.routed().count() == 3500
+        m = pipe.catalog.manifest("routed")
+        assert m["cumulative_row_count"] == 3500
+        direct = aggregate_stage(
+            enrich_stage(parse_stage(all_tokens, "pandas"), source_dim(spark))
+        )
+        got = pipe.aggregates()
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+    def test_restart_is_noop(self, spark, inc_dirs):
+        inp, wh, ckpt = inc_dirs
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        snaps_before = pipe.catalog._snaps("routed")
+        q = incremental_ingest(spark, inp + "/*/", pipe, ckpt)
+        q.awaitTermination(120)
+        assert pipe.catalog._snaps("routed") == snaps_before
+        assert pipe.routed().count() == 3500
 
 
 class TestStatefulDedup:
