@@ -254,7 +254,10 @@ class SnapshotCatalog:
         ]
         df = dfs[0]
         for other in dfs[1:]:
-            df = df.unionByName(other)
+            # allowMissingColumns = Iceberg add-column schema evolution:
+            # an increment that shipped a new column unions with older
+            # snapshots projecting null for it (and vice versa)
+            df = df.unionByName(other, allowMissingColumns=True)
         return df
 
     # -- maintenance ------------------------------------------------

@@ -225,6 +225,38 @@ class TestIncrementalRuns:
         assert got.exceptAll(direct).count() == 0
         assert direct.exceptAll(got).count() == 0
 
+    def test_three_way_split_equals_full(self, spark, tokens, tmp_path_factory):
+        """Any partitioning of the input into disjoint increments must
+        reproduce the single-run results exactly."""
+        wh = str(tmp_path_factory.mktemp("wh_inc3"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        h = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for i in range(3):
+            pipe.run_increment(tokens.filter(h == i), f"inc3-{i}")
+        assert pipe.routed().count() == N
+        direct = self._direct_full(spark, tokens)
+        got = pipe.aggregates()
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+    def test_chain_read_tolerates_added_column(self, spark, tmp_path):
+        """Schema evolution: an increment shipping a NEW column unions
+        with older snapshots projecting null for it (Iceberg add-column)."""
+        from qsvspark.io import SnapshotCatalog
+
+        cat = SnapshotCatalog(str(tmp_path / "wh_evo"))
+        v1 = spark.range(10).select(F.col("id"), F.lit("a").alias("k"))
+        m1 = cat.write(v1, "t", input_fingerprint="v1")
+        v2 = spark.range(10, 15).select(
+            F.col("id"), F.lit("b").alias("k"), F.lit(1.5).alias("score")
+        )
+        cat.write(v2, "t", input_fingerprint="v2", parent=m1["snapshot"])
+        full = cat.read(spark, "t")
+        assert full.count() == 15
+        assert set(full.columns) == {"id", "k", "score"}
+        assert full.filter(F.col("score").isNull()).count() == 10
+
     def test_committed_increment_resumes(self, tokens, inc_setup):
         pipe, _, m2 = inc_setup
         _, inc2 = self._halves(tokens)
