@@ -122,7 +122,13 @@ def _parse_auto(s: pd.Series) -> pd.Series:
     bad = parsed.isna() & s.notna() & (s.astype(str).str.strip() != "")
     if bad.any():
         parsed = parsed.copy()
-        parsed.loc[bad] = s[bad].map(_parse_one_auto)
+        # The slow ladder runs once per DISTINCT failing value: telemetry
+        # timestamps repeat at second granularity, so the dedup factor on
+        # real log batches is large and the worst case (all unique) costs
+        # only one pd.unique pass.
+        hard = s[bad]
+        memo = {t: _parse_one_auto(t) for t in pd.unique(hard)}
+        parsed.loc[bad] = hard.map(memo)
     return parsed
 
 
@@ -440,13 +446,15 @@ def convert(df: DataFrame, column: str, from_format: str, to_format: str) -> Dat
     @F.pandas_udf(T.StringType())
     def _convert(s: pd.Series) -> pd.Series:
         def one(text):
-            if text is None or (isinstance(text, float) and pd.isna(text)):
-                return text
             try:
                 return _render_cell(_parse_cell(str(text), from_format), to_format)
             except Exception as e:  # noqa: BLE001 — cell-level error capture
                 return f"# {e} error"
 
-        return s.map(one)
+        # Parse/render each DISTINCT payload once per batch: structured log
+        # props are categorical (few templates, many rows), so the memo
+        # collapses most of the Python work; nulls stay null via map().
+        memo = {text: one(text) for text in pd.unique(s.dropna())}
+        return s.map(memo)
 
     return df.withColumn(column, _convert(F.col(column).cast("string")))

@@ -172,6 +172,17 @@ class TestConvert:
         with pytest.raises(InvalidArgumentError):
             Q(json_df).convert("json", "json", "toml")
 
+    def test_memoized_batch_repeats_and_nulls(self, spark):
+        # per-batch memoization must be transparent: repeated payloads all
+        # get the rendered value, nulls stay null, errors stay per-cell
+        rows = [('{"k": 1}',), (None,), ('{"k": 1}',), ("bad {",), ('{"k": 2}',)]
+        df = spark.createDataFrame(rows, ["j"]).coalesce(1)
+        got = [r["j"] for r in Q(df).convert("j", "json", "json").df.collect()]
+        assert got[0] == got[2] == '{\n  "k": 1\n}'
+        assert got[1] is None
+        assert got[3].startswith("#") and got[3].endswith("error")
+        assert got[4] == '{\n  "k": 2\n}'
+
 
 class TestChangetzNativePath:
     """The fixed-format fixed-offset case runs as pure Catalyst
