@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bucket-width", type=int, default=64)
     ap.add_argument("--salted", action="store_true",
                     help="two-level salted aggregation for heavy-hitter keys")
+    ap.add_argument("--dedup", default=None, choices=["exact"],
+                    help="drop duplicate token sequences (keep-first by "
+                         "doc_id) before routing; increments anti-join "
+                         "against the committed dedup_keys chain")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--cluster-by", default=None,
                     help="comma-separated sort-order columns for the routed "
@@ -79,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         bucket_width=args.bucket_width,
         salted=args.salted,
         route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        dedup=args.dedup,
     )
     if args.increment:
         metrics = pipe.run_increment(tokens, args.fingerprint,

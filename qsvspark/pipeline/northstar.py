@@ -11,6 +11,12 @@ Stage design (all DataFrame-declarative; Catalyst/AQE pick physical plans):
              star mandates; only doc_id crosses the Python boundary, the
              token arrays stay in the JVM), and 'native' —
              regexp_extract, whole-stage codegen, zero Python.
+  dedup      (optional, dedup="exact") drop duplicate token sequences,
+             keep-first by doc_id: WindowGroupLimit emits one local
+             candidate per 128-bit content key map-side before the
+             shuffle; increments anti-join against the committed
+             dedup_keys chain (16 bytes/row) so cross-increment dedup
+             never re-reads committed token data.
   enrich     broadcast hash join against the small source dimension
              (explicit F.broadcast — never a shuffle, never skew-prone).
   route      single-pass fan-out to per-sink partitions via
@@ -150,6 +156,50 @@ def enrich_stage(df: DataFrame, dim: DataFrame) -> DataFrame:
     return df.join(F.broadcast(dim), on="source", how="left")
 
 
+def dedup_key(df: DataFrame) -> DataFrame:
+    """Append the exact-dedup content key: two INDEPENDENT xxhash64 lanes
+    over (n_tok, tokens). 16 bytes stand in for the whole token array as
+    the grouping identity; a false merge needs a simultaneous collision in
+    both lanes (~2^-128 per pair — at 10^12 rows the expected number of
+    collisions is ~1e-15, documented rather than paid for with full-array
+    comparisons on every shuffle)."""
+    return df.withColumn("__h1", F.xxhash64("n_tok", "tokens")).withColumn(
+        "__h2", F.xxhash64(F.lit(0x9E3779B9), "tokens", "n_tok")
+    )
+
+
+def dedup_stage(df: DataFrame, against: DataFrame | None = None) -> DataFrame:
+    """Drop exact-duplicate token sequences, keeping the lowest doc_id
+    (deterministic keep-first — rerun-stable regardless of partitioning).
+
+    Executes as row_number() over (partition by key order by doc_id)
+    filtered to 1: Spark's WindowGroupLimit rule (physical plan shows a
+    `WindowGroupLimit` node below the shuffle) makes every map task emit
+    only its LOCAL keep-first candidate per key before shuffling — the
+    map-side-combine analogue for dedup, so a corpus that is 50%
+    duplicates shuffles at most one row per (key × map task), not every
+    row. This is the same LLM-training-corpus operation as
+    functions/dedup.py:dedup_exact, applied to pre-tokenized sequences
+    inside the pipeline instead of documents.
+
+    against: an optional (__h1, __h2) key set of ALREADY-COMMITTED content
+    (the dedup_keys snapshot chain) — rows whose key appears there are
+    dropped via left_anti join, giving cross-increment dedup without ever
+    re-reading committed token data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h1", "__h2").orderBy("doc_id")
+    out = (
+        dedup_key(df)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if against is not None:
+        out = out.join(against, ["__h1", "__h2"], "left_anti")
+    return out.drop("__h1", "__h2")
+
+
 def bucket_expr(n_tok: F.Column | str, width: int = 64) -> F.Column:
     c = F.col(n_tok) if isinstance(n_tok, str) else n_tok
     return ((c / width).cast("int") * width).alias("n_tok_bucket")
@@ -214,6 +264,7 @@ class NorthStarPipeline:
         route_tasks_per_core: int | None = None,
         codec: str | None = None,
         route_cluster_by: list[str] | None = None,
+        dedup: str | None = None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -235,11 +286,40 @@ class NorthStarPipeline:
         # narrow per-task sort so downstream source/n_tok filters prune
         # parquet row groups via min/max stats instead of scanning
         self.route_cluster_by = route_cluster_by
+        # dedup="exact": drop duplicate token sequences (keep-first by
+        # doc_id) before routing; across increments, previously-committed
+        # content keys live in the dedup_keys snapshot chain
+        if dedup not in (None, "exact"):
+            raise ValueError(f"unknown dedup mode '{dedup}'")
+        self.dedup = dedup
 
     def _config_fp(self, input_fingerprint: str, stage: str) -> str:
         return (
             f"{input_fingerprint}|{stage}|parse={self.parse_mode}"
             f"|bw={self.bucket_width}|k={self.num_sources}|s={self.num_sinks}"
+            f"|dedup={self.dedup or 'off'}"
+        )
+
+    def _commit_dedup_keys(self, routed_snap: str, route_fp: str) -> None:
+        """Append the content keys of ONE committed routed delta to the
+        dedup_keys chain. 16 bytes/row — at 10^12 rows the key chain is
+        ~100× smaller than the token data it indexes, and increments
+        anti-join against it instead of rescanning committed tokens.
+        Idempotent (fingerprinted), so a crash between the route commit
+        and this commit resumes cleanly."""
+        keys_fp = f"{route_fp}|dedup-keys"
+        if self.catalog.find_committed("dedup_keys", keys_fp):
+            return
+        delta = self.catalog.read(
+            self.spark, "routed", routed_snap, follow_parents=False
+        )
+        keys = dedup_key(delta.select("n_tok", "tokens")).select("__h1", "__h2")
+        self.catalog.write(
+            keys,
+            "dedup_keys",
+            input_fingerprint=keys_fp,
+            lineage={"stages": ["dedup-keys"], "inputs": [route_fp]},
+            parent=self.catalog.current_snapshot("dedup_keys"),
         )
 
     def run(self, tokens: DataFrame, input_fingerprint: str) -> dict:
@@ -261,6 +341,15 @@ class NorthStarPipeline:
         else:
             t0 = time.time()
             parsed = parse_stage(tokens, self.parse_mode)
+            obs = None
+            if self.dedup:
+                from pyspark.sql import Observation
+
+                # pre-dedup row count rides the SAME write action via
+                # Observation — no extra job to account for drops
+                obs = Observation()
+                parsed = parsed.observe(obs, F.count(F.lit(1)).alias("rows"))
+                parsed = dedup_stage(parsed)
             enriched = enrich_stage(parsed, dim)
             # Size write tasks to the cluster, not to the input split
             # count: partitionBy(sink) emits (tasks × sinks) files, so
@@ -276,7 +365,8 @@ class NorthStarPipeline:
                 "routed",
                 input_fingerprint=routed_fp,
                 lineage={
-                    "stages": ["parse", "enrich", "route"],
+                    "stages": (["parse", "dedup"] if self.dedup else ["parse"])
+                    + ["enrich", "route"],
                     "parse_mode": self.parse_mode,
                     "inputs": [input_fingerprint],
                 },
@@ -286,7 +376,14 @@ class NorthStarPipeline:
                 cluster_by=self.route_cluster_by,
             )
             metrics["stages"]["route"] = round(time.time() - t0, 3)
+            if obs is not None:
+                metrics["input_rows"] = int(obs.get["rows"])
+                metrics["duplicates_dropped"] = (
+                    metrics["input_rows"] - route_manifest["row_count"]
+                )
             routed = self.catalog.read(self.spark, "routed")
+        if self.dedup:
+            self._commit_dedup_keys(route_manifest["snapshot"], routed_fp)
         metrics["per_sink_counts"] = route_manifest["partition_counts"]
         metrics["rows"] = route_manifest["row_count"]
 
@@ -364,6 +461,17 @@ class NorthStarPipeline:
         else:
             t0 = time.time()
             parsed = parse_stage(tokens, self.parse_mode)
+            if self.dedup:
+                # within-increment keep-first, then drop anything whose
+                # content key is already in the committed key chain —
+                # cross-increment dedup as one anti-join on 16-byte keys
+                prev_keys = None
+                keys_snap = self.catalog.current_snapshot("dedup_keys")
+                if keys_snap is not None:
+                    prev_keys = self.catalog.read(
+                        self.spark, "dedup_keys", keys_snap
+                    )
+                parsed = dedup_stage(parsed, against=prev_keys)
             enriched = enrich_stage(parsed, dim)
             target = self.route_tasks_per_core * self.spark.sparkContext.defaultParallelism
             parent = self.catalog.current_snapshot("routed")
@@ -384,6 +492,8 @@ class NorthStarPipeline:
                 parent=parent,
             )
             metrics["stages"]["route"] = round(time.time() - t0, 3)
+        if self.dedup:
+            self._commit_dedup_keys(manifest["snapshot"], inc_fp)
         metrics["delta_rows"] = manifest["row_count"]
         metrics["delta_per_sink_counts"] = manifest["partition_counts"]
         metrics["rows"] = manifest["cumulative_row_count"]

@@ -307,3 +307,94 @@ class TestSinkMaintenance:
         again = pipe.run(tokens, input_fingerprint=fp)
         assert "route" in again["resumed"]
         assert again["per_sink_counts"] == first["per_sink_counts"]
+
+
+def _shift_doc_ids(df, by: int = 1_000_000):
+    """Copy with identical content but distinct, still-grok-parseable
+    doc_ids (seq += by); sorts AFTER the original, so keep-first dedup
+    must keep the original row."""
+    seq = F.substring_index("doc_id", "doc-", -1).cast("long") + F.lit(by)
+    return df.withColumn(
+        "doc_id",
+        F.concat(
+            F.substring_index("doc_id", "doc-", 1),
+            F.lit("doc-"),
+            F.lpad(seq.cast("string"), 12, "0"),
+        ),
+    )
+
+
+class TestDedupStage:
+    ND = 1_500
+
+    @pytest.fixture(scope="class")
+    def base(self, spark):
+        return synth_tokens(spark, self.ND, seed=13).cache()
+
+    @pytest.fixture(scope="class")
+    def with_dups(self, spark, base):
+        return base.unionByName(_shift_doc_ids(base))
+
+    def test_keep_first_drops_exact_duplicates(self, with_dups, base):
+        from qsvspark.pipeline.northstar import dedup_stage
+
+        deduped = dedup_stage(parse_stage(with_dups, "native"))
+        assert deduped.count() == self.ND
+        # every kept row is the ORIGINAL (lowest doc_id), never the copy
+        kept_seq = F.substring_index("doc_id", "doc-", -1).cast("long")
+        assert deduped.where(kept_seq >= 1_000_000).count() == 0
+
+    def test_pipeline_dedup_metrics_and_counts(
+        self, spark, base, with_dups, tmp_path_factory
+    ):
+        wh = str(tmp_path_factory.mktemp("wh_dedup"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="native", dedup="exact")
+        m = pipe.run(with_dups, input_fingerprint="dup-run")
+        assert m["input_rows"] == 2 * self.ND
+        assert m["rows"] == self.ND
+        assert m["duplicates_dropped"] == self.ND
+        # per-sink counts equal the duplicate-free input routed directly
+        dim = source_dim(spark)
+        direct = {
+            r["sink"]: r["n"]
+            for r in base.join(F.broadcast(dim), "source")
+            .groupBy("sink").agg(F.count("*").alias("n")).collect()
+        }
+        assert m["per_sink_counts"] == direct
+        # key chain committed: one 16-byte pair per surviving row
+        keys = pipe.catalog.read(spark, "dedup_keys")
+        assert keys.count() == self.ND
+        assert keys.columns == ["__h1", "__h2"]
+
+    def test_dedup_config_does_not_resume_across_modes(
+        self, spark, with_dups, tmp_path_factory
+    ):
+        wh = str(tmp_path_factory.mktemp("wh_dedup_fp"))
+        plain = NorthStarPipeline(spark, wh, parse_mode="native")
+        m1 = plain.run(with_dups, input_fingerprint="same-fp")
+        assert m1["rows"] == 2 * self.ND
+        deduping = NorthStarPipeline(spark, wh, parse_mode="native", dedup="exact")
+        m2 = deduping.run(with_dups, input_fingerprint="same-fp")
+        assert m2["resumed"] == []
+        assert m2["rows"] == self.ND
+
+    def test_increments_dedup_against_committed_chain(
+        self, spark, tmp_path_factory
+    ):
+        """Increment 2 re-ships increment 1's content under new doc_ids:
+        the anti-join against the dedup_keys chain must drop it all."""
+        wh = str(tmp_path_factory.mktemp("wh_dedup_inc"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="native", dedup="exact")
+        h1 = synth_tokens(spark, 800, seed=13)
+        h2 = synth_tokens(spark, 800, seed=13, id_offset=800)
+        m1 = pipe.run_increment(h1, "inc1")
+        assert m1["delta_rows"] == 800
+        m2 = pipe.run_increment(h2.unionByName(_shift_doc_ids(h1)), "inc2")
+        assert m2["delta_rows"] == 800          # h1 copies all dropped
+        assert m2["rows"] == 1_600              # cumulative, duplicate-free
+        # key chain covers both increments
+        assert pipe.catalog.read(spark, "dedup_keys").count() == 1_600
+        # rerunning a committed increment is a no-op (keys not re-appended)
+        again = pipe.run_increment(h2.unionByName(_shift_doc_ids(h1)), "inc2")
+        assert sorted(again["resumed"]) == ["aggregate", "route"]
+        assert pipe.catalog.read(spark, "dedup_keys").count() == 1_600

@@ -151,3 +151,40 @@ class TestSingleEvaluation:
         plan = plan_of(minhash_lsh_pairs(docs, num_hashes=16), "simple")
         # in-bucket combination expansion: no join operator anywhere
         assert "Join" not in plan
+
+
+class TestPipelineDedupPlan:
+    def test_dedup_keep_first_has_map_side_group_limit(self, spark):
+        """The keep-first window (row_number == 1) must compile to a
+        WindowGroupLimit BELOW the exchange: each map task emits one local
+        candidate per content key before shuffling, so a duplicate-heavy
+        corpus shuffles O(distinct × tasks), not O(rows)."""
+        from qsvspark.pipeline.northstar import dedup_stage, parse_stage
+        from qsvspark.pipeline.tokens import synth_tokens
+
+        df = dedup_stage(parse_stage(synth_tokens(spark, 100, seed=3), "native"))
+        plan = plan_of(df)
+        assert "WindowGroupLimit" in plan
+        first_limit = plan.index("WindowGroupLimit")
+        assert "Exchange" in plan[:first_limit] or "Exchange" in plan
+        # the PARTIAL group-limit must appear upstream of (after, in
+        # bottom-up formatted order: with a larger node id than) the
+        # shuffle — cheap proxy: two WindowGroupLimit nodes (partial+final)
+        assert plan.count("WindowGroupLimit") >= 2
+
+    def test_cross_increment_anti_join_is_hash_join(self, spark):
+        """The dedup_keys anti-join must stay a hash/sort-merge join on
+        the 16-byte key pair — never a nested loop."""
+        from qsvspark.pipeline.northstar import dedup_key, dedup_stage, parse_stage
+        from qsvspark.pipeline.tokens import synth_tokens
+
+        prev = dedup_key(
+            synth_tokens(spark, 50, seed=4).select("n_tok", "tokens")
+        ).select("__h1", "__h2")
+        df = dedup_stage(
+            parse_stage(synth_tokens(spark, 100, seed=3), "native"), against=prev
+        )
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftAnti" in plan
