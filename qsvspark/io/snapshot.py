@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import urllib.parse
 
@@ -55,6 +56,78 @@ def _footer_partition_counts(data_dir: str, key: str) -> dict:
                     n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
         counts[val] = n
     return counts
+
+
+def _json_scalar(v):
+    """Parquet footer statistics value → JSON-serializable scalar, or None
+    when the type has no meaningful file-pruning order (we then skip the
+    stat rather than store something uncomparable)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _footer_file_stats(data_dir: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` plus row/byte counts, from parquet
+    FOOTERS only (no data pages). This is the per-file column-stats record
+    an Iceberg manifest carries (lower_bounds/upper_bounds per data file);
+    scan planning prunes on it before Spark ever lists the files."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    want = set(cols or [])
+    for root, _, files in os.walk(data_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            rel_dir = os.path.relpath(root, data_dir)
+            part = None
+            if rel_dir != "." and "=" in rel_dir:
+                part = urllib.parse.unquote(rel_dir.split("=", 1)[1])
+            md = pq.ParquetFile(path).metadata
+            stats: dict[str, list] = {}
+            complete: dict[str, bool] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema.split(".")[0]
+                    if name not in want:
+                        continue
+                    s = c.statistics
+                    if s is None or not s.has_min_max:
+                        complete[name] = False
+                        continue
+                    mn, mx = _json_scalar(s.min), _json_scalar(s.max)
+                    if mn is None or mx is None:
+                        complete[name] = False
+                        continue
+                    complete.setdefault(name, True)
+                    if name in stats:
+                        stats[name][0] = min(stats[name][0], mn)
+                        stats[name][1] = max(stats[name][1], mx)
+                    else:
+                        stats[name] = [mn, mx]
+            # a column whose stats any row group lacked can't prune safely
+            stats = {k: v for k, v in stats.items() if complete.get(k)}
+            out.append(
+                {
+                    "path": os.path.relpath(path, data_dir),
+                    "bytes": os.path.getsize(path),
+                    "rows": md.num_rows,
+                    "partition": part,
+                    "stats": stats,
+                }
+            )
+    return out
 
 
 class SnapshotCatalog:
@@ -116,6 +189,7 @@ class SnapshotCatalog:
         compression: str = "snappy",
         cluster_by: list[str] | None = None,
         parent: str | None = None,
+        stats_by: list[str] | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -137,6 +211,11 @@ class SnapshotCatalog:
         — the point is parquet min/max locality: row groups inside each
         file cover disjoint ranges of the cluster columns, so downstream
         point/range filters prune row groups instead of scanning them.
+
+        stats_by: columns whose per-FILE min/max go into the manifest
+        (Iceberg lower_bounds/upper_bounds) for ``scan()``-time file
+        pruning; defaults to cluster_by. Footer reads only — no data
+        pages, no extra Spark job.
         """
         t0 = time.time()
         if cluster_by:
@@ -194,6 +273,8 @@ class SnapshotCatalog:
                 cum_parts = dict(pc)
                 for k, v in per_part.items():
                     cum_parts[k] = cum_parts.get(k, 0) + v
+        stat_cols = stats_by if stats_by is not None else (cluster_by or [])
+        file_stats = _footer_file_stats(data_dir, stat_cols) if stat_cols else None
         manifest = {
             "table": table,
             "snapshot": snap,
@@ -209,6 +290,7 @@ class SnapshotCatalog:
             "input_fingerprint": input_fingerprint,
             "lineage": lineage or {},
             "cluster_by": cluster_by,
+            "file_stats": file_stats,
             "metrics": {"write_seconds": round(time.time() - t0, 3)},
         }
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
@@ -298,6 +380,163 @@ class SnapshotCatalog:
                          "partition": part, "snapshot": s}
                     )
         return out
+
+    # -- stats-pruned scan -------------------------------------------
+
+    @staticmethod
+    def _stats_admit(entry: dict, filters: list[tuple], partition_by) -> bool:
+        """Could a file possibly contain rows matching every filter?
+        Conservative: a column with no recorded stats admits the file.
+        Filters are (col, op, value) with op in = < <= > >=."""
+        for col, op, val in filters:
+            if partition_by == col and entry.get("partition") is not None:
+                p = entry["partition"]
+                # partition values are stored as strings; compare like-typed
+                try:
+                    p = type(val)(p)
+                except (TypeError, ValueError):
+                    pass
+                lo = hi = p
+            else:
+                rng = (entry.get("stats") or {}).get(col)
+                if rng is None:
+                    continue
+                lo, hi = rng
+            try:
+                if op == "=" and not (lo <= val <= hi):
+                    return False
+                if op == "<" and not (lo < val):
+                    return False
+                if op == "<=" and not (lo <= val):
+                    return False
+                if op == ">" and not (hi > val):
+                    return False
+                if op == ">=" and not (hi >= val):
+                    return False
+            except TypeError:
+                # stat/value types don't order together → can't prune safely
+                continue
+        return True
+
+    def plan_scan(
+        self,
+        table: str,
+        filters: list[tuple],
+        snap: str | None = None,
+        *,
+        follow_parents: bool = True,
+    ) -> list[dict]:
+        """File-pruning scan plan from manifest ``file_stats`` alone — no
+        storage listing, no footer reads (Iceberg's manifest-level
+        lower_bounds/upper_bounds pruning). Returns one entry per snapshot
+        in the chain: ``{"snapshot", "data_dir", "paths", "total_files"}``
+        where paths is the admitted subset (None = stats absent, scan the
+        whole directory)."""
+        snap = snap or self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
+        out = []
+        for s in self._chain(table, snap) if follow_parents else [snap]:
+            m = self.manifest(table, s) or {}
+            data_dir = os.path.join(self._table_dir(table), s, "data")
+            fs = m.get("file_stats")
+            if fs is None:
+                out.append({"snapshot": s, "data_dir": data_dir,
+                            "paths": None, "total_files": None})
+                continue
+            part_key = m.get("partition_by")
+            keep = [
+                os.path.join(data_dir, e["path"])
+                for e in fs
+                if self._stats_admit(e, filters, part_key)
+            ]
+            out.append({"snapshot": s, "data_dir": data_dir,
+                        "paths": keep, "total_files": len(fs)})
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        filters: list[tuple] | None = None,
+        snap: str | None = None,
+        *,
+        follow_parents: bool = True,
+    ) -> DataFrame:
+        """Read a snapshot with manifest-stats file pruning, then apply the
+        filters exactly on the surviving rows (stats admit conservatively,
+        the residual predicate makes the result precise — same split as an
+        Iceberg scan). ``filters`` are (col, op, value) tuples, op in
+        ``= < <= > >=``; with no filters this is ``read()``."""
+        if not filters:
+            return self.read(spark, table, snap, follow_parents=follow_parents)
+        _OPS = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for _, op, _v in filters:
+            if op not in _OPS:
+                raise ValueError(f"unsupported scan op {op!r}")
+        parts: list[DataFrame] = []
+        for plan in self.plan_scan(table, filters, snap,
+                                   follow_parents=follow_parents):
+            if plan["paths"] is None:
+                df = spark.read.parquet(plan["data_dir"])
+            elif not plan["paths"]:
+                continue  # every file pruned for this snapshot
+            else:
+                # basePath keeps partition-column discovery working when
+                # reading an explicit file subset under key=value dirs
+                df = (
+                    spark.read.option("basePath", plan["data_dir"])
+                    .parquet(*plan["paths"])
+                )
+            parts.append(df)
+        if not parts:
+            # all files pruned: empty frame with the manifest schema
+            from pyspark.sql.types import StructType
+
+            m = self.manifest(table, snap or self.current_snapshot(table))
+            schema = StructType.fromJson(m["schema"])
+            return spark.createDataFrame([], schema)
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        for col, op, val in filters:
+            df = df.filter(_OPS[op](F.col(col), F.lit(val)))
+        return df
+
+    # -- snapshot expiry ---------------------------------------------
+
+    def expire_snapshots(self, table: str, *, keep_last: int = 1) -> list[str]:
+        """Delete snapshot directories that are neither among the newest
+        ``keep_last`` committed snapshots, nor CURRENT, nor a parent in a
+        retained snapshot's append chain (Iceberg ``expire_snapshots``).
+        Uncommitted snap dirs (failed writes — data present, manifest
+        absent) are always removed: that is the orphan-file cleanup half
+        of the maintenance story. Returns the deleted snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self._snaps(table)
+        committed = [s for s in snaps
+                     if (self.manifest(table, s) or {}).get("committed")]
+        retained: set[str] = set()
+        roots = set(committed[-keep_last:])
+        cur = self.current_snapshot(table)
+        if cur is not None:
+            roots.add(cur)
+        for r in roots:
+            retained.update(self._chain(table, r))
+        deleted = []
+        for s in snaps:
+            if s in retained:
+                continue
+            shutil.rmtree(os.path.join(self._table_dir(table), s))
+            deleted.append(s)
+        return deleted
 
     def compact(
         self,

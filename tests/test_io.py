@@ -311,3 +311,103 @@ class TestCompaction:
             col = pq.read_table(f["path"], columns=["n_tok"])["n_tok"].to_pylist()
             assert col == sorted(col)
         assert cat.manifest("t")["cluster_by"] == ["n_tok"]
+
+
+class TestManifestStatsScan:
+    """Manifest-level file pruning: write() records per-file min/max
+    (Iceberg lower_bounds/upper_bounds) for stats_by columns; scan()
+    selects files from the manifest ALONE — no storage listing, no footer
+    reads at query time — then applies the residual predicate exactly."""
+
+    @pytest.fixture()
+    def ranged(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whx"))
+        # 4 range-disjoint files: repartitionByRange gives each output
+        # file a narrow, non-overlapping id interval → prunable stats
+        df = spark.range(4000).select(
+            F.col("id"), (F.col("id") % 7).alias("m"))
+        cat.write(df.repartitionByRange(4, "id"), "t",
+                  input_fingerprint="fp", stats_by=["id"])
+        return cat
+
+    def test_manifest_records_file_stats(self, ranged):
+        fs = ranged.manifest("t")["file_stats"]
+        assert fs and all("id" in e["stats"] for e in fs)
+        lo = min(e["stats"]["id"][0] for e in fs)
+        hi = max(e["stats"]["id"][1] for e in fs)
+        assert (lo, hi) == (0, 3999)
+
+    def test_plan_scan_prunes_files(self, ranged):
+        plan = ranged.plan_scan("t", [("id", "=", 10)])
+        assert len(plan) == 1
+        assert plan[0]["total_files"] >= 4
+        assert 0 < len(plan[0]["paths"]) < plan[0]["total_files"]
+
+    def test_scan_equals_read_filter(self, spark, ranged):
+        got = ranged.scan(spark, "t", [("id", ">=", 3500)])
+        want = ranged.read(spark, "t").filter(F.col("id") >= 3500)
+        assert sorted(r.id for r in got.collect()) == \
+            sorted(r.id for r in want.collect())
+
+    def test_scan_all_pruned_returns_empty_with_schema(self, spark, ranged):
+        got = ranged.scan(spark, "t", [("id", ">", 10**9)])
+        assert got.count() == 0
+        assert set(got.columns) == {"id", "m"}
+
+    def test_scan_partition_filter_prunes(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whp"))
+        df = spark.range(300).select(
+            (F.col("id") % 3).cast("string").alias("sink"), F.col("id"))
+        cat.write(df, "t", partition_by="sink", count_by="sink",
+                  stats_by=["id"])
+        plan = cat.plan_scan("t", [("sink", "=", "1")])
+        assert len(plan[0]["paths"]) < plan[0]["total_files"]
+        got = cat.scan(spark, "t", [("sink", "=", "1")])
+        assert got.count() == 100
+        assert set(got.columns) == {"sink", "id"}
+
+    def test_scan_chain_prunes_per_snapshot(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whc"))
+        lo = spark.range(0, 100).select(F.col("id"))
+        hi = spark.range(100, 200).select(F.col("id"))
+        cat.write(lo.coalesce(1), "t", input_fingerprint="a",
+                  stats_by=["id"])
+        cat.write(hi.coalesce(1), "t", input_fingerprint="b",
+                  parent="snap-00001", stats_by=["id"])
+        plan = cat.plan_scan("t", [("id", "<", 50)])
+        kept = {p["snapshot"]: len(p["paths"]) for p in plan}
+        assert kept["snap-00001"] == 1 and kept["snap-00002"] == 0
+        assert cat.scan(spark, "t", [("id", "<", 50)]).count() == 50
+
+    def test_unknown_op_rejected(self, spark, ranged):
+        with pytest.raises(ValueError):
+            ranged.scan(spark, "t", [("id", "!=", 1)])
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_current_chain(self, spark, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whe"))
+        cat.write(simple_df, "t", input_fingerprint="a")           # 1
+        cat.write(simple_df.limit(2), "t", input_fingerprint="b")  # 2
+        cat.write(simple_df.limit(1), "t", input_fingerprint="c",
+                  parent="snap-00002")                             # 3 → 2
+        deleted = cat.expire_snapshots("t", keep_last=1)
+        # snap-2 is snap-3's parent: retained despite keep_last=1
+        assert deleted == ["snap-00001"]
+        assert cat.read(spark, "t").count() == 3  # 2 + 1 delta
+        assert cat.find_committed("t", "a") is None
+
+    def test_expire_removes_uncommitted_orphans(self, simple_df, tmp_path):
+        import os
+        cat = SnapshotCatalog(str(tmp_path / "who"))
+        cat.write(simple_df, "t", input_fingerprint="a")
+        orphan = os.path.join(str(tmp_path / "who"), "t", "snap-00002")
+        os.makedirs(os.path.join(orphan, "data"))
+        deleted = cat.expire_snapshots("t", keep_last=3)
+        assert deleted == ["snap-00002"] and not os.path.exists(orphan)
+
+    def test_keep_last_validated(self, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whv"))
+        cat.write(simple_df, "t")
+        with pytest.raises(ValueError):
+            cat.expire_snapshots("t", keep_last=0)
