@@ -593,6 +593,12 @@ class SnapshotCatalog:
         advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         old = conf.get(advisory_key, None)
         conf.set(advisory_key, str(target_file_bytes))
+        # a compacted copy must stay as prunable as its source: carry the
+        # source's stats column set (recoverable from its file_stats keys)
+        src_stat_cols = sorted(
+            {c for e in (m.get("file_stats") or []) for c in e.get("stats", {})}
+            | set(cluster_by or [])
+        )
         try:
             balanced = df.hint("rebalance", key) if key else df.hint("rebalance")
             manifest = self.write(
@@ -609,6 +615,7 @@ class SnapshotCatalog:
                 count_by=key,
                 compression="snappy",
                 cluster_by=cluster_by,
+                stats_by=src_stat_cols or None,
             )
         finally:
             if old is None:

@@ -411,3 +411,16 @@ class TestExpireSnapshots:
         cat.write(simple_df, "t")
         with pytest.raises(ValueError):
             cat.expire_snapshots("t", keep_last=0)
+
+    def test_compact_carries_stats_columns(self, spark, tmp_path):
+        """Compaction must not lose manifest prunability: the rewritten
+        snapshot re-records file stats for the source's stats columns."""
+        cat = SnapshotCatalog(str(tmp_path / "whcs"))
+        df = spark.range(2000).select(F.col("id"))
+        cat.write(df.repartition(8), "t", input_fingerprint="fp",
+                  stats_by=["id"])
+        m2 = cat.compact(spark, "t", target_file_bytes=1 << 20, force=True)
+        assert m2["file_stats"] and all(
+            "id" in e["stats"] for e in m2["file_stats"])
+        got = cat.scan(spark, "t", [("id", "=", 42)])
+        assert got.count() == 1
