@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop duplicate token sequences (keep-first by "
                          "doc_id) before routing; increments anti-join "
                          "against the committed dedup_keys chain")
+    ap.add_argument("--dedup-keys-buckets", type=int, default=None,
+                    help="store the committed dedup_keys chain hash-bucketed "
+                         "into N buckets (Iceberg bucket(N, key) transform): "
+                         "the ever-growing key chain is never reshuffled by "
+                         "increment anti-joins — only each delta's keys cross "
+                         "an Exchange. Size ~= chain bytes / 256MB at target "
+                         "scale. 0/unset = plain layout")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--cluster-by", default=None,
                     help="comma-separated sort-order columns for the routed "
@@ -84,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         salted=args.salted,
         route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         dedup=args.dedup,
+        dedup_keys_buckets=args.dedup_keys_buckets,
     )
     if args.increment:
         metrics = pipe.run_increment(tokens, args.fingerprint,

@@ -190,6 +190,8 @@ class SnapshotCatalog:
         cluster_by: list[str] | None = None,
         parent: str | None = None,
         stats_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 0,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -216,8 +218,30 @@ class SnapshotCatalog:
         (Iceberg lower_bounds/upper_bounds) for ``scan()``-time file
         pruning; defaults to cluster_by. Footer reads only — no data
         pages, no extra Spark job.
+
+        bucket_by/n_buckets: hash-bucket layout (Iceberg's ``bucket(N,
+        col)`` partition transform, realized through Spark's native
+        bucketed writer). The point at 10^12-row scale: a table written
+        bucketed on its join key is NEVER reshuffled by later joins on
+        that key — the scan itself reports hash partitioning, so only
+        the other (small, incremental) side pays an Exchange. This is
+        how the ever-growing dedup-keys chain stays join-cheap: the
+        multi-TB committed key set sits bucketed at rest while each
+        increment shuffles only its own delta keys into the same
+        bucketing. Bucketed snapshots also sort within buckets on the
+        bucket columns (sort-merge joins skip the sort on this side).
+        Mutually exclusive with partition_by.
         """
         t0 = time.time()
+        if bucket_by and partition_by:
+            raise ValueError("bucket_by and partition_by are mutually exclusive")
+        if bucket_by and cluster_by:
+            raise ValueError(
+                "bucketed snapshots already sort within buckets on the bucket "
+                "columns; cluster_by would be destroyed by the bucket shuffle"
+            )
+        if bool(bucket_by) != bool(n_buckets):
+            raise ValueError("bucket_by requires n_buckets (and vice versa)")
         if cluster_by:
             df = df.sortWithinPartitions(*cluster_by)
         snaps = self._snaps(table)
@@ -225,22 +249,32 @@ class SnapshotCatalog:
         snap_dir = os.path.join(self._table_dir(table), snap)
         data_dir = os.path.join(snap_dir, "data")
         obs = Observation()
-        writer = (
-            df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            .write.mode("overwrite")
-            # token-id / unique-id heavy tables: dictionary encoding only
-            # balloons then falls back (ids are near-random), and parquet
-            # v2 delta-packed encodings beat v1 plain by ~30% on encode
-            # time; 32MB row groups bound per-writer buffer memory when a
-            # task holds one open writer per routed sink.
-            .option("parquet.enable.dictionary", "false")
-            .option("parquet.writer.version", "v2")
-            .option("parquet.block.size", str(32 * 1024 * 1024))
-        )
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(data_dir, compression=compression)
-        total = obs.get["rows"]
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if bucket_by:
+            # one shuffle into bucket layout (each task owns exactly one
+            # bucket → one file per bucket, no tasks×buckets fan-out);
+            # in-bucket sort on the bucket columns so downstream SMJs
+            # skip the sort on this side
+            total = self._write_bucketed_data(
+                observed, obs, data_dir, bucket_by, n_buckets, compression
+            )
+        else:
+            writer = (
+                observed
+                .write.mode("overwrite")
+                # token-id / unique-id heavy tables: dictionary encoding only
+                # balloons then falls back (ids are near-random), and parquet
+                # v2 delta-packed encodings beat v1 plain by ~30% on encode
+                # time; 32MB row groups bound per-writer buffer memory when a
+                # task holds one open writer per routed sink.
+                .option("parquet.enable.dictionary", "false")
+                .option("parquet.writer.version", "v2")
+                .option("parquet.block.size", str(32 * 1024 * 1024))
+            )
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(data_dir, compression=compression)
+            total = obs.get["rows"]
 
         spark = df.sparkSession
         per_part = None
@@ -267,6 +301,13 @@ class SnapshotCatalog:
                     f"append partitioning mismatch: parent {pm.get('partition_by')!r} "
                     f"vs delta {partition_by!r}"
                 )
+            if (pm.get("bucket_by"), pm.get("n_buckets", 0)) != (bucket_by, n_buckets):
+                raise ValueError(
+                    "append bucketing mismatch: parent "
+                    f"{pm.get('bucket_by')!r}×{pm.get('n_buckets', 0)} vs delta "
+                    f"{bucket_by!r}×{n_buckets} — co-located chain joins need one "
+                    "bucket spec across the chain"
+                )
             cum_total = pm.get("cumulative_row_count", pm["row_count"]) + total
             pc = pm.get("cumulative_partition_counts") or pm.get("partition_counts")
             if pc is not None and per_part is not None:
@@ -287,6 +328,8 @@ class SnapshotCatalog:
             "cumulative_partition_counts": cum_parts,
             "parent": parent,
             "partition_by": partition_by,
+            "bucket_by": bucket_by,
+            "n_buckets": n_buckets,
             "input_fingerprint": input_fingerprint,
             "lineage": lineage or {},
             "cluster_by": cluster_by,
@@ -298,6 +341,81 @@ class SnapshotCatalog:
         with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
             f.write(snap)
         return manifest
+
+    # -- bucketed layout ---------------------------------------------
+
+    @staticmethod
+    def _bucket_table_name(data_dir: str) -> str:
+        """Deterministic session-catalog name for a bucketed snapshot's
+        external table — path-hashed so re-registration in a fresh
+        session (resume in a new JVM) lands on the same name and two
+        snapshots never collide."""
+        import hashlib
+
+        return "qsvb_" + hashlib.md5(
+            os.path.abspath(data_dir).encode()
+        ).hexdigest()[:16]
+
+    def _write_bucketed_data(
+        self,
+        observed: DataFrame,
+        obs: Observation,
+        data_dir: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        compression: str,
+    ) -> int:
+        """Write through Spark's native bucketed writer (external table at
+        the snap data dir). repartition(n_buckets, cols) uses the same
+        murmur3 HashPartitioning as the bucket assignment, so each write
+        task owns exactly one bucket → exactly n_buckets files, never a
+        tasks×buckets fan-out."""
+        spark = observed.sparkSession
+        name = self._bucket_table_name(data_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            observed.repartition(n_buckets, *bucket_by)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", data_dir)
+            .option("compression", compression)
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.writer.version", "v2")
+            .option("parquet.block.size", str(32 * 1024 * 1024))
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*bucket_by)
+            .saveAsTable(name)
+        )
+        return obs.get["rows"]
+
+    def _register_bucketed(self, spark: SparkSession, table: str, snap: str) -> str:
+        """Attach a bucketed snapshot's files to the session catalog (no-op
+        if already attached). Spark only exploits bucketing through table
+        metadata, not bare parquet paths; the manifest carries everything
+        needed to recreate the DDL, so a fresh session resumes with the
+        same shuffle-free join property. The bucket id lives in each file
+        name (Spark's ``part-…_NNNNN`` convention), so re-registering
+        files written by the bucketed writer is exact."""
+        from pyspark.sql import types as T
+
+        m = self.manifest(table, snap)
+        if not m or not m.get("bucket_by"):
+            raise ValueError(f"snapshot {table}/{snap} is not bucketed")
+        data_dir = os.path.join(self._table_dir(table), snap, "data")
+        name = self._bucket_table_name(data_dir)
+        if not spark.catalog.tableExists(name):
+            st = T.StructType.fromJson(m["schema"])
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in m["bucket_by"])
+            spark.sql(
+                f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {m['n_buckets']} BUCKETS "
+                f"LOCATION '{data_dir}'"
+            )
+        return name
 
     # -- read -------------------------------------------------------
 
@@ -326,14 +444,7 @@ class SnapshotCatalog:
         branch, and compaction resets chain length to 1 so plans stay
         bounded. follow_parents=False reads only the snapshot's own
         delta."""
-        snap = snap or self.current_snapshot(table)
-        if snap is None:
-            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
-        snaps = self._chain(table, snap) if follow_parents else [snap]
-        dfs = [
-            spark.read.parquet(os.path.join(self._table_dir(table), s, "data"))
-            for s in snaps
-        ]
+        dfs = self.read_parts(spark, table, snap, follow_parents=follow_parents)
         df = dfs[0]
         for other in dfs[1:]:
             # allowMissingColumns = Iceberg add-column schema evolution:
@@ -341,6 +452,35 @@ class SnapshotCatalog:
             # snapshots projecting null for it (and vice versa)
             df = df.unionByName(other, allowMissingColumns=True)
         return df
+
+    def read_parts(
+        self,
+        spark: SparkSession,
+        table: str,
+        snap: str | None = None,
+        *,
+        follow_parents: bool = True,
+    ) -> list[DataFrame]:
+        """One DataFrame per snapshot in the chain (oldest first), each a
+        single scan. Bucketed snapshots come back as session-catalog table
+        scans that REPORT their hash partitioning to the planner — callers
+        that join/anti-join the chain element-wise keep every element
+        shuffle-free on the bucket key, which a union (whose output
+        partitioning Spark discards) cannot."""
+        snap = snap or self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
+        snaps = self._chain(table, snap) if follow_parents else [snap]
+        parts: list[DataFrame] = []
+        for s in snaps:
+            m = self.manifest(table, s) or {}
+            if m.get("bucket_by"):
+                parts.append(spark.table(self._register_bucketed(spark, table, s)))
+            else:
+                parts.append(
+                    spark.read.parquet(os.path.join(self._table_dir(table), s, "data"))
+                )
+        return parts
 
     # -- maintenance ------------------------------------------------
 
@@ -600,7 +740,29 @@ class SnapshotCatalog:
             | set(cluster_by or [])
         )
         try:
-            balanced = df.hint("rebalance", key) if key else df.hint("rebalance")
+            bucket_by = m.get("bucket_by")
+            if bucket_by:
+                # bucketed source: the bucketed writer's own
+                # repartition(n_buckets) IS the bin-pack (chain → exactly
+                # n_buckets files), and the layout must survive compaction
+                # or the chain's shuffle-free join property dies with it.
+                # Read the chain as RAW parquet paths: bucketed scans
+                # report hash partitioning, which makes the planner elide
+                # the writer's repartition and emit one file per
+                # (bucket × chain element) instead of one per bucket —
+                # exactly the small files this rewrite exists to remove.
+                balanced = None
+                for s in self._chain(table, src):
+                    part = spark.read.parquet(
+                        os.path.join(self._table_dir(table), s, "data")
+                    )
+                    balanced = (
+                        part
+                        if balanced is None
+                        else balanced.unionByName(part, allowMissingColumns=True)
+                    )
+            else:
+                balanced = df.hint("rebalance", key) if key else df.hint("rebalance")
             manifest = self.write(
                 balanced,
                 table,
@@ -616,6 +778,8 @@ class SnapshotCatalog:
                 compression="snappy",
                 cluster_by=cluster_by,
                 stats_by=src_stat_cols or None,
+                bucket_by=bucket_by,
+                n_buckets=m.get("n_buckets", 0),
             )
         finally:
             if old is None:

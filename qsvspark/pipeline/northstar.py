@@ -168,7 +168,9 @@ def dedup_key(df: DataFrame) -> DataFrame:
     )
 
 
-def dedup_stage(df: DataFrame, against: DataFrame | None = None) -> DataFrame:
+def dedup_stage(
+    df: DataFrame, against: DataFrame | list[DataFrame] | None = None
+) -> DataFrame:
     """Drop exact-duplicate token sequences, keeping the lowest doc_id
     (deterministic keep-first — rerun-stable regardless of partitioning).
 
@@ -185,7 +187,12 @@ def dedup_stage(df: DataFrame, against: DataFrame | None = None) -> DataFrame:
     against: an optional (__h1, __h2) key set of ALREADY-COMMITTED content
     (the dedup_keys snapshot chain) — rows whose key appears there are
     dropped via left_anti join, giving cross-increment dedup without ever
-    re-reading committed token data."""
+    re-reading committed token data. A LIST of frames anti-joins each
+    element in sequence — semantically identical to anti-joining their
+    union, but when the elements are bucketed snapshot scans each join
+    keeps the committed side shuffle-free (a union would discard the
+    scans' reported hash partitioning), so only the increment's own keys
+    ever cross an Exchange."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("__h1", "__h2").orderBy("doc_id")
@@ -196,7 +203,9 @@ def dedup_stage(df: DataFrame, against: DataFrame | None = None) -> DataFrame:
         .drop("__rn")
     )
     if against is not None:
-        out = out.join(against, ["__h1", "__h2"], "left_anti")
+        parts = against if isinstance(against, (list, tuple)) else [against]
+        for part in parts:
+            out = out.join(part, ["__h1", "__h2"], "left_anti")
     return out.drop("__h1", "__h2")
 
 
@@ -265,6 +274,7 @@ class NorthStarPipeline:
         codec: str | None = None,
         route_cluster_by: list[str] | None = None,
         dedup: str | None = None,
+        dedup_keys_buckets: int | None = None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -292,6 +302,18 @@ class NorthStarPipeline:
         if dedup not in (None, "exact"):
             raise ValueError(f"unknown dedup mode '{dedup}'")
         self.dedup = dedup
+        # dedup_keys_buckets > 0: store the committed content-key chain
+        # hash-bucketed on (__h1, __h2). The chain is the one table that
+        # every future increment joins and that only ever grows (~16 TB at
+        # 10^12 rows); bucketed at rest it is NEVER reshuffled — each
+        # increment's anti-join shuffles only the delta keys. Sized like
+        # shuffle partitions: buckets ≈ chain_bytes / 256 MB at target
+        # scale; any positive value shows the plan shape locally.
+        self.dedup_keys_buckets = int(
+            dedup_keys_buckets
+            if dedup_keys_buckets is not None
+            else os.environ.get("QSVSPARK_DEDUP_KEYS_BUCKETS", "0")
+        )
 
     def _config_fp(self, input_fingerprint: str, stage: str) -> str:
         return (
@@ -314,12 +336,23 @@ class NorthStarPipeline:
             self.spark, "routed", routed_snap, follow_parents=False
         )
         keys = dedup_key(delta.select("n_tok", "tokens")).select("__h1", "__h2")
+        bucketed = self.dedup_keys_buckets > 0
+        head = self.catalog.manifest("dedup_keys")
+        if head is not None:
+            # a chain must keep ONE bucket spec end-to-end (the write layer
+            # enforces it); an existing chain's layout wins over the config
+            # so toggling the knob mid-warehouse never strands a resume
+            bucketed = bool(head.get("bucket_by"))
+            if bucketed:
+                self.dedup_keys_buckets = head["n_buckets"]
         self.catalog.write(
             keys,
             "dedup_keys",
             input_fingerprint=keys_fp,
             lineage={"stages": ["dedup-keys"], "inputs": [route_fp]},
             parent=self.catalog.current_snapshot("dedup_keys"),
+            bucket_by=["__h1", "__h2"] if bucketed else None,
+            n_buckets=self.dedup_keys_buckets if bucketed else 0,
         )
 
     def run(self, tokens: DataFrame, input_fingerprint: str) -> dict:
@@ -468,7 +501,10 @@ class NorthStarPipeline:
                 prev_keys = None
                 keys_snap = self.catalog.current_snapshot("dedup_keys")
                 if keys_snap is not None:
-                    prev_keys = self.catalog.read(
+                    # per-snapshot frames, not a union: bucketed chain
+                    # elements keep their reported hash partitioning so
+                    # each anti-join leaves the committed side in place
+                    prev_keys = self.catalog.read_parts(
                         self.spark, "dedup_keys", keys_snap
                     )
                 parsed = dedup_stage(parsed, against=prev_keys)
