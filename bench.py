@@ -666,6 +666,16 @@ def main() -> None:
         warm = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         warm = warm.limit(20000).withColumn("__w", _warm_udf(warm["value"]))
         warm.write.format("noop").mode("overwrite").save()
+        # warm EVERY Python worker, not just the one task limit() leaves:
+        # the first mapInPandas op otherwise pays CPUS × fork+import-pandas
+        # (measured: 13 s charged to multimodal_features at 32 threads)
+        def _warm_all(it):
+            for b in it:
+                yield b
+
+        spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(
+            _warm_all, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
         _log(f"[bench] warmup skipped: {e!r}")
     for name in HEADLINE:

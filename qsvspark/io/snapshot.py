@@ -342,6 +342,46 @@ class SnapshotCatalog:
             f.write(snap)
         return manifest
 
+    # -- snapshot history / time travel --------------------------------
+
+    def history(self, table: str) -> list[dict]:
+        """Commit log, oldest first (Iceberg's ``table.history()``): one
+        entry per committed snapshot with its timestamp, lineage op,
+        parent, and row accounting. Reads only manifests — never data."""
+        out = []
+        for s in self._snaps(table):
+            m = self.manifest(table, s)
+            if not m or not m.get("committed"):
+                continue
+            out.append(
+                {
+                    "snapshot": s,
+                    "created_at_unix": m.get("created_at_unix"),
+                    "op": (m.get("lineage") or {}).get("op"),
+                    "parent": m.get("parent"),
+                    "row_count": m.get("row_count"),
+                    "cumulative_row_count": m.get("cumulative_row_count"),
+                    "is_current": s == self.current_snapshot(table),
+                }
+            )
+        return out
+
+    def rollback(self, table: str, snap: str) -> dict:
+        """Point CURRENT back at an older committed snapshot (Iceberg
+        ``rollback_to_snapshot``). Pure metadata — no data moves; newer
+        snapshots stay on disk (roll forward by rolling 'back' to them)
+        until ``expire_snapshots`` reclaims them. Time-travel READS don't
+        need this — ``read(table, snap=...)`` already scans any committed
+        snapshot — rollback changes what readers of CURRENT see next."""
+        m = self.manifest(table, snap)
+        if m is None or not m.get("committed"):
+            raise FileNotFoundError(
+                f"cannot roll back '{table}' to {snap}: not a committed snapshot"
+            )
+        with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
+            f.write(snap)
+        return m
+
     # -- bucketed layout ---------------------------------------------
 
     @staticmethod

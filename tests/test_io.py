@@ -424,3 +424,60 @@ class TestExpireSnapshots:
             "id" in e["stats"] for e in m2["file_stats"])
         got = cat.scan(spark, "t", [("id", "=", 42)])
         assert got.count() == 1
+
+
+class TestHistoryRollback:
+    def test_history_lists_committed_oldest_first(self, spark, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whh"))
+        cat.write(simple_df, "t", input_fingerprint="a",
+                  lineage={"op": "full"})
+        cat.write(simple_df.limit(1), "t", input_fingerprint="b",
+                  parent="snap-00001", lineage={"op": "append-increment"})
+        h = cat.history("t")
+        assert [e["snapshot"] for e in h] == ["snap-00001", "snap-00002"]
+        assert h[0]["op"] == "full" and h[1]["op"] == "append-increment"
+        assert h[1]["parent"] == "snap-00001"
+        assert h[1]["cumulative_row_count"] == 4
+        assert [e["is_current"] for e in h] == [False, True]
+
+    def test_history_skips_uncommitted_orphans(self, spark, simple_df, tmp_path):
+        import os
+        cat = SnapshotCatalog(str(tmp_path / "whho"))
+        cat.write(simple_df, "t", input_fingerprint="a")
+        os.makedirs(os.path.join(str(tmp_path / "whho"), "t", "snap-00002", "data"))
+        assert [e["snapshot"] for e in cat.history("t")] == ["snap-00001"]
+
+    def test_rollback_flips_current_metadata_only(self, spark, simple_df, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "whr"))
+        cat.write(simple_df, "t", input_fingerprint="good")
+        cat.write(simple_df.limit(1), "t", input_fingerprint="bad")
+        assert cat.read(spark, "t").count() == 1
+        m = cat.rollback("t", "snap-00001")
+        assert m["snapshot"] == "snap-00001"
+        assert cat.current_snapshot("t") == "snap-00001"
+        assert cat.read(spark, "t").count() == 3
+        # the rolled-away snapshot's data stays until expiry: roll forward
+        cat.rollback("t", "snap-00002")
+        assert cat.read(spark, "t").count() == 1
+
+    def test_rollback_to_missing_or_uncommitted_raises(
+        self, spark, simple_df, tmp_path
+    ):
+        import os
+        cat = SnapshotCatalog(str(tmp_path / "whrx"))
+        cat.write(simple_df, "t", input_fingerprint="a")
+        with pytest.raises(FileNotFoundError):
+            cat.rollback("t", "snap-00099")
+        os.makedirs(os.path.join(str(tmp_path / "whrx"), "t", "snap-00002", "data"))
+        with pytest.raises(FileNotFoundError):
+            cat.rollback("t", "snap-00002")
+
+    def test_time_travel_read_any_committed_snapshot(
+        self, spark, simple_df, tmp_path
+    ):
+        cat = SnapshotCatalog(str(tmp_path / "whtt"))
+        cat.write(simple_df, "t", input_fingerprint="a")
+        cat.write(simple_df.limit(2), "t", input_fingerprint="b")
+        assert cat.read(spark, "t", "snap-00001").count() == 3
+        assert cat.read(spark, "t", "snap-00002").count() == 2
+        assert cat.read(spark, "t").count() == 2
