@@ -670,6 +670,9 @@ def main() -> None:
         # the first mapInPandas op otherwise pays CPUS × fork+import-pandas
         # (measured: 13 s charged to multimodal_features at 32 threads)
         def _warm_all(it):
+            import hashlib  # noqa: F401 — warm the module cache the
+            import numpy    # noqa: F401 — extension UDFs import on first use
+
             for b in it:
                 yield b
 
