@@ -35,9 +35,9 @@ if os.path.isdir(os.path.join(_repo, "qsvspark")):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="tokens table path (parquet/Iceberg)")
+    ap.add_argument("--input", help="tokens table path (parquet/Iceberg)")
     ap.add_argument("--warehouse", required=True, help="snapshot warehouse root")
-    ap.add_argument("--fingerprint", required=True,
+    ap.add_argument("--fingerprint",
                     help="input fingerprint for resume (same input+config → resume)")
     ap.add_argument("--parse-mode", default="arrow",
                     choices=["arrow", "pandas", "native"])
@@ -74,7 +74,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="increment aggregate maintenance: 'merge' re-sums "
                          "partials (exact when a doc_id never spans two "
                          "increments), 'recompute' scans the full chain")
+    ap.add_argument("--history", metavar="TABLE", default=None,
+                    help="print TABLE's commit log (manifests only, no "
+                         "Spark job) and exit")
+    ap.add_argument("--rollback", nargs=2, metavar=("TABLE", "SNAP"),
+                    default=None,
+                    help="repoint TABLE's CURRENT at SNAP (pure metadata; "
+                         "newer snapshots stay until expiry) and exit")
     args = ap.parse_args(argv)
+
+    # metadata-only maintenance: no SparkSession needed
+    if args.history or args.rollback:
+        from qsvspark.io.snapshot import SnapshotCatalog
+
+        cat = SnapshotCatalog(args.warehouse)
+        if args.rollback:
+            table, snap = args.rollback
+            m = cat.rollback(table, snap)
+            print(json.dumps({"rolled_back": table, "current": m["snapshot"],
+                              "row_count": m.get("cumulative_row_count")}))
+        if args.history:
+            print(json.dumps(cat.history(args.history)))
+        return 0
+    if not args.input or not args.fingerprint:
+        ap.error("--input and --fingerprint are required to run the pipeline")
 
     # On a cluster, spark-submit provides the session config (master,
     # executors); get_spark only fills in engine-level defaults.

@@ -481,3 +481,25 @@ class TestHistoryRollback:
         assert cat.read(spark, "t", "snap-00001").count() == 3
         assert cat.read(spark, "t", "snap-00002").count() == 2
         assert cat.read(spark, "t").count() == 2
+
+    def test_job_history_and_rollback_flags(self, spark, simple_df, tmp_path, capsys):
+        """jobs/pipeline.py --history/--rollback: metadata-only maintenance,
+        no SparkSession constructed."""
+        import importlib.util, json as _json, os as _os
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "jobs_pipeline", _os.path.join(repo, "jobs", "pipeline.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        wh = str(tmp_path / "whjob")
+        cat = SnapshotCatalog(wh)
+        cat.write(simple_df, "routed", input_fingerprint="a")
+        cat.write(simple_df.limit(1), "routed", input_fingerprint="b")
+        assert mod.main(["--warehouse", wh, "--history", "routed"]) == 0
+        hist = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [e["snapshot"] for e in hist] == ["snap-00001", "snap-00002"]
+        assert mod.main(
+            ["--warehouse", wh, "--rollback", "routed", "snap-00001"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["current"] == "snap-00001"
+        assert cat.current_snapshot("routed") == "snap-00001"
