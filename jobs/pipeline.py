@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop duplicate token sequences (keep-first by "
                          "doc_id) before routing; increments anti-join "
                          "against the committed dedup_keys chain")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="dead-letter rows that fail parse/enrich to the "
+                         "sink_quarantine partition (with error_reason) "
+                         "instead of dropping them; aggregates exclude it")
     ap.add_argument("--dedup-keys-buckets", type=int, default=None,
                     help="store the committed dedup_keys chain hash-bucketed "
                          "into N buckets (Iceberg bucket(N, key) transform): "
@@ -115,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         dedup=args.dedup,
         dedup_keys_buckets=args.dedup_keys_buckets,
+        quarantine=args.quarantine,
     )
     if args.increment:
         metrics = pipe.run_increment(tokens, args.fingerprint,

@@ -2,6 +2,16 @@
 parse → enrich → route → aggregate pipeline over pre-tokenized sequences."""
 
 from qsvspark.pipeline.tokens import source_dim, synth_tokens
-from qsvspark.pipeline.northstar import NorthStarPipeline
+from qsvspark.pipeline.northstar import (
+    QUARANTINE_SINK,
+    NorthStarPipeline,
+    quarantine_stage,
+)
 
-__all__ = ["synth_tokens", "source_dim", "NorthStarPipeline"]
+__all__ = [
+    "synth_tokens",
+    "source_dim",
+    "NorthStarPipeline",
+    "quarantine_stage",
+    "QUARANTINE_SINK",
+]

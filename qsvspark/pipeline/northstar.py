@@ -19,6 +19,12 @@ Stage design (all DataFrame-declarative; Catalyst/AQE pick physical plans):
              never re-reads committed token data.
   enrich     broadcast hash join against the small source dimension
              (explicit F.broadcast — never a shuffle, never skew-prone).
+  quarantine (optional, quarantine=True) dead-letter routing: rows the
+             pipeline cannot place (grok miss, unknown source, doc_id /
+             source disagreement) are re-sunk to QUARANTINE_SINK with an
+             error_reason column instead of silently landing in a null
+             partition; aggregates exclude them via a partition-pruned
+             filter on the sink column.
   route      single-pass fan-out to per-sink partitions via
              write.partitionBy(sink): every executor writes its slice of
              every sink; no per-sink job loop, no collect. The snapshot
@@ -156,6 +162,39 @@ def enrich_stage(df: DataFrame, dim: DataFrame) -> DataFrame:
     return df.join(F.broadcast(dim), on="source", how="left")
 
 
+QUARANTINE_SINK = "sink_quarantine"
+
+
+def quarantine_stage(df: DataFrame) -> DataFrame:
+    """Dead-letter routing (Logstash DLQ / Kafka Connect
+    errors.deadletterqueue semantics): classify rows the pipeline cannot
+    place and re-sink them to QUARANTINE_SINK with a machine-readable
+    reason, instead of dropping them or letting them land in a null
+    partition directory.
+
+    Reasons, first match wins:
+      unparseable_doc_id — the grok regex extracted nothing
+      source_mismatch    — doc_id parsed but embeds a different source
+                           than the row's source column (corrupt join key)
+      unknown_source     — the enrich dimension has no row for source
+
+    One codegen'd WHEN chain over columns that already exist at this
+    point in the plan: no shuffle, no Python, and rows that are clean
+    keep their enriched sink untouched. Because sink is the routed
+    table's partition column, the quarantined rows land in their own
+    partition directory and every downstream aggregate prunes them with
+    a metadata-only filter."""
+    reason = (
+        F.when(F.col("parsed_source").isNull(), F.lit("unparseable_doc_id"))
+        .when(F.col("parsed_source") != F.col("source"), F.lit("source_mismatch"))
+        .when(F.col("sink").isNull(), F.lit("unknown_source"))
+    )
+    return df.withColumn("error_reason", reason).withColumn(
+        "sink",
+        F.when(reason.isNotNull(), F.lit(QUARANTINE_SINK)).otherwise(F.col("sink")),
+    )
+
+
 def dedup_key(df: DataFrame) -> DataFrame:
     """Append the exact-dedup content key: two INDEPENDENT xxhash64 lanes
     over (n_tok, tokens). 16 bytes stand in for the whole token array as
@@ -275,6 +314,7 @@ class NorthStarPipeline:
         route_cluster_by: list[str] | None = None,
         dedup: str | None = None,
         dedup_keys_buckets: int | None = None,
+        quarantine: bool = False,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(warehouse)
@@ -302,6 +342,10 @@ class NorthStarPipeline:
         if dedup not in (None, "exact"):
             raise ValueError(f"unknown dedup mode '{dedup}'")
         self.dedup = dedup
+        # quarantine=True: dead-letter rows that fail parse/enrich to
+        # QUARANTINE_SINK (with error_reason) instead of dropping them;
+        # aggregates exclude the quarantine partition
+        self.quarantine = quarantine
         # dedup_keys_buckets > 0: store the committed content-key chain
         # hash-bucketed on (__h1, __h2). The chain is the one table that
         # every future increment joins and that only ever grows (~16 TB at
@@ -320,6 +364,7 @@ class NorthStarPipeline:
             f"{input_fingerprint}|{stage}|parse={self.parse_mode}"
             f"|bw={self.bucket_width}|k={self.num_sources}|s={self.num_sinks}"
             f"|dedup={self.dedup or 'off'}"
+            + ("|dlq=1" if self.quarantine else "")
         )
 
     def _commit_dedup_keys(self, routed_snap: str, route_fp: str) -> None:
@@ -384,6 +429,8 @@ class NorthStarPipeline:
                 parsed = parsed.observe(obs, F.count(F.lit(1)).alias("rows"))
                 parsed = dedup_stage(parsed)
             enriched = enrich_stage(parsed, dim)
+            if self.quarantine:
+                enriched = quarantine_stage(enriched)
             # Size write tasks to the cluster, not to the input split
             # count: partitionBy(sink) emits (tasks × sinks) files, so
             # letting 100k input splits each write 4 sink files is the
@@ -419,6 +466,10 @@ class NorthStarPipeline:
             self._commit_dedup_keys(route_manifest["snapshot"], routed_fp)
         metrics["per_sink_counts"] = route_manifest["partition_counts"]
         metrics["rows"] = route_manifest["row_count"]
+        if self.quarantine:
+            metrics["quarantined"] = route_manifest["partition_counts"].get(
+                QUARANTINE_SINK, 0
+            )
 
         # salt config in the fingerprint: toggling --salted (or the bucket
         # count) must NOT resume from the other mode's committed snapshot
@@ -431,10 +482,15 @@ class NorthStarPipeline:
             metrics["resumed"].append("aggregate")
         else:
             t0 = time.time()
+            agg_src = routed
+            if self.quarantine:
+                # sink is the partition column: this filter is resolved
+                # from directory names, the quarantine files are never read
+                agg_src = routed.where(F.col("sink") != QUARANTINE_SINK)
             if self.salted:
-                aggs = aggregate_stage_salted(routed, self.bucket_width, self.salt_buckets)
+                aggs = aggregate_stage_salted(agg_src, self.bucket_width, self.salt_buckets)
             else:
-                aggs = aggregate_stage(routed, self.bucket_width)
+                aggs = aggregate_stage(agg_src, self.bucket_width)
             self.catalog.write(
                 aggs,
                 "aggregates",
@@ -509,6 +565,8 @@ class NorthStarPipeline:
                     )
                 parsed = dedup_stage(parsed, against=prev_keys)
             enriched = enrich_stage(parsed, dim)
+            if self.quarantine:
+                enriched = quarantine_stage(enriched)
             target = self.route_tasks_per_core * self.spark.sparkContext.defaultParallelism
             parent = self.catalog.current_snapshot("routed")
             manifest = self.catalog.write(
@@ -534,6 +592,10 @@ class NorthStarPipeline:
         metrics["delta_per_sink_counts"] = manifest["partition_counts"]
         metrics["rows"] = manifest["cumulative_row_count"]
         metrics["per_sink_counts"] = manifest["cumulative_partition_counts"]
+        if self.quarantine:
+            metrics["quarantined"] = manifest["partition_counts"].get(
+                QUARANTINE_SINK, 0
+            )
 
         agg_fp = self._config_fp(
             increment_fingerprint, f"aggregate-increment|mode={distinct_mode}"
@@ -542,13 +604,19 @@ class NorthStarPipeline:
             metrics["resumed"].append("aggregate")
         else:
             t0 = time.time()
+
+            def _clean(df: DataFrame) -> DataFrame:
+                if self.quarantine:
+                    return df.where(F.col("sink") != QUARANTINE_SINK)
+                return df
+
             if distinct_mode == "recompute":
-                aggs = aggregate_stage(self.routed(), self.bucket_width)
+                aggs = aggregate_stage(_clean(self.routed()), self.bucket_width)
             else:
                 delta = self.catalog.read(
                     self.spark, "routed", manifest["snapshot"], follow_parents=False
                 )
-                delta_agg = aggregate_stage(delta, self.bucket_width)
+                delta_agg = aggregate_stage(_clean(delta), self.bucket_width)
                 prev_snap = self.catalog.current_snapshot("aggregates")
                 if prev_snap is None:
                     aggs = delta_agg

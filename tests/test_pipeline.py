@@ -398,3 +398,105 @@ class TestDedupStage:
         again = pipe.run_increment(h2.unionByName(_shift_doc_ids(h1)), "inc2")
         assert sorted(again["resumed"]) == ["aggregate", "route"]
         assert pipe.catalog.read(spark, "dedup_keys").count() == 1_600
+
+
+class TestQuarantine:
+    """Dead-letter routing (quarantine=True): rows that fail parse or
+    enrich land in the sink_quarantine partition with an error_reason,
+    aggregates exclude them via a partition-pruned sink filter, and
+    clean rows are byte-identical to a quarantine-off run."""
+
+    NCLEAN = 200
+    BAD = [
+        ("corrupt-line-###", [1, 2, 3], 3, "src00"),
+        ("src00/part-0001/doc-000000000001", [4, 5], 2, "src01"),
+        ("src99/part-0002/doc-000000000002", [6], 1, "src99"),
+    ]
+    REASONS = {
+        "corrupt-line-###": "unparseable_doc_id",
+        "src00/part-0001/doc-000000000001": "source_mismatch",
+        "src99/part-0002/doc-000000000002": "unknown_source",
+    }
+
+    def _dirty(self, spark):
+        clean = synth_tokens(spark, self.NCLEAN, seed=SEED)
+        bad = spark.createDataFrame(
+            self.BAD, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        return clean.unionByName(bad)
+
+    @pytest.fixture(scope="class")
+    def qrun(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_dlq"))
+        pipe = NorthStarPipeline(spark, wh, quarantine=True)
+        metrics = pipe.run(self._dirty(spark), input_fingerprint="dlq-batch")
+        return pipe, metrics
+
+    def test_bad_rows_quarantined_with_reasons(self, qrun):
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        pipe, metrics = qrun
+        assert metrics["quarantined"] == len(self.BAD)
+        q = pipe.routed().where(F.col("sink") == QUARANTINE_SINK)
+        assert {r["doc_id"]: r["error_reason"] for r in q.collect()} == self.REASONS
+
+    def test_clean_rows_routed_normally(self, spark, qrun):
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        pipe, metrics = qrun
+        clean = pipe.routed().where(F.col("sink") != QUARANTINE_SINK)
+        assert clean.where(F.col("error_reason").isNotNull()).count() == 0
+        direct = {
+            r["sink"]: r["n"]
+            for r in synth_tokens(spark, self.NCLEAN, seed=SEED)
+            .join(F.broadcast(source_dim(spark)), "source")
+            .groupBy("sink").agg(F.count("*").alias("n")).collect()
+        }
+        observed = dict(metrics["per_sink_counts"])
+        assert observed.pop(QUARANTINE_SINK) == len(self.BAD)
+        assert observed == direct
+
+    def test_aggregates_exclude_quarantine(self, qrun):
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        pipe, _ = qrun
+        aggs = pipe.aggregates()
+        assert aggs.where(F.col("sink") == QUARANTINE_SINK).count() == 0
+        total = aggs.agg(F.sum("seq_count").alias("n")).collect()[0]["n"]
+        assert total == self.NCLEAN
+
+    def test_quarantine_filter_is_partition_pruned(self, qrun):
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        pipe, _ = qrun
+        clean = pipe.routed().where(F.col("sink") != QUARANTINE_SINK)
+        plan = clean._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            clean._jdf.queryExecution(), "formatted"
+        )
+        # the sink predicate must resolve against partition directories,
+        # not as a post-scan data filter
+        assert "PartitionFilters" in plan
+        seg = plan[plan.index("PartitionFilters"):]
+        assert "sink" in seg.splitlines()[0]
+
+    def test_increment_path_quarantines_and_excludes(
+        self, spark, tmp_path_factory
+    ):
+        wh = str(tmp_path_factory.mktemp("wh_dlq_inc"))
+        pipe = NorthStarPipeline(spark, wh, quarantine=True)
+        m1 = pipe.run_increment(self._dirty(spark), "inc1")
+        assert m1["quarantined"] == len(self.BAD)
+        m2 = pipe.run_increment(
+            _shift_doc_ids(synth_tokens(spark, 100, seed=SEED + 1)), "inc2"
+        )
+        assert m2["quarantined"] == 0
+        total = (
+            pipe.aggregates().agg(F.sum("seq_count").alias("n")).collect()[0]["n"]
+        )
+        assert total == self.NCLEAN + 100
+
+    def test_off_by_default_schema_unchanged(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_dlq_off"))
+        pipe = NorthStarPipeline(spark, wh)
+        pipe.run(synth_tokens(spark, 50, seed=SEED), input_fingerprint="clean")
+        assert "error_reason" not in pipe.routed().columns
