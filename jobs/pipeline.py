@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--parse-mode", default="arrow",
                     choices=["arrow", "pandas", "native"])
     ap.add_argument("--bucket-width", type=int, default=64)
+    ap.add_argument("--num-sources", type=int, default=20,
+                    help="size of the enrich dimension; widening it then "
+                         "running --redrive-quarantine routes previously "
+                         "unknown sources out of quarantine")
+    ap.add_argument("--num-sinks", type=int, default=4)
     ap.add_argument("--salted", action="store_true",
                     help="two-level salted aggregation for heavy-hitter keys")
     ap.add_argument("--dedup", default=None, choices=["exact"],
@@ -52,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="dead-letter rows that fail parse/enrich to the "
                          "sink_quarantine partition (with error_reason) "
                          "instead of dropping them; aggregates exclude it")
+    ap.add_argument("--redrive-quarantine", action="store_true",
+                    help="re-process the quarantine partition (after the "
+                         "cause is fixed): newly-clean rows move to their "
+                         "real sinks via dynamic partition overwrite; "
+                         "implies --quarantine, needs --fingerprint but "
+                         "no --input")
     ap.add_argument("--dedup-keys-buckets", type=int, default=None,
                     help="store the committed dedup_keys chain hash-bucketed "
                          "into N buckets (Iceberg bucket(N, key) transform): "
@@ -100,7 +111,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.history:
             print(json.dumps(cat.history(args.history)))
         return 0
-    if not args.input or not args.fingerprint:
+    if args.redrive_quarantine:
+        if not args.fingerprint:
+            ap.error("--redrive-quarantine requires --fingerprint")
+    elif not args.input or not args.fingerprint:
         ap.error("--input and --fingerprint are required to run the pipeline")
 
     # On a cluster, spark-submit provides the session config (master,
@@ -110,17 +124,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("qsvspark-pipeline",
                       shuffle_partitions=args.shuffle_partitions)
-    tokens = spark.read.parquet(args.input)
     pipe = NorthStarPipeline(
         spark, args.warehouse,
         parse_mode=args.parse_mode,
         bucket_width=args.bucket_width,
+        num_sources=args.num_sources,
+        num_sinks=args.num_sinks,
         salted=args.salted,
         route_cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         dedup=args.dedup,
         dedup_keys_buckets=args.dedup_keys_buckets,
-        quarantine=args.quarantine,
+        quarantine=args.quarantine or args.redrive_quarantine,
     )
+    if args.redrive_quarantine:
+        print(json.dumps(pipe.redrive_quarantine(args.fingerprint)))
+        spark.stop()
+        return 0
+    tokens = spark.read.parquet(args.input)
     if args.increment:
         metrics = pipe.run_increment(tokens, args.fingerprint,
                                      distinct_mode=args.distinct_mode)

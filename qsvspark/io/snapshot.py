@@ -32,6 +32,7 @@ import urllib.parse
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _footer_partition_counts(data_dir: str, key: str) -> dict:
@@ -192,6 +193,7 @@ class SnapshotCatalog:
         stats_by: list[str] | None = None,
         bucket_by: list[str] | None = None,
         n_buckets: int = 0,
+        replace_partitions: list[str] | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -231,6 +233,18 @@ class SnapshotCatalog:
         bucketing. Bucketed snapshots also sort within buckets on the
         bucket columns (sort-merge joins skip the sort on this side).
         Mutually exclusive with partition_by.
+
+        replace_partitions: Iceberg DYNAMIC PARTITION OVERWRITE on an
+        append chain: the listed partition VALUES (of partition_by) are
+        superseded — chain reads mask every ancestor file under those
+        partitions, and this snapshot's delta provides their new contents
+        (possibly none, which deletes the partition). Rows the delta
+        writes into OTHER partitions still append as usual, so one commit
+        can atomically move rows out of a partition (the quarantine
+        redrive pattern). Requires parent, partition_by, and per-partition
+        accounting (count_by == partition_by) on the chain. Pure
+        metadata: no ancestor data is rewritten; time-travel reads of the
+        parent still see the old partition.
         """
         t0 = time.time()
         if bucket_by and partition_by:
@@ -242,6 +256,17 @@ class SnapshotCatalog:
             )
         if bool(bucket_by) != bool(n_buckets):
             raise ValueError("bucket_by requires n_buckets (and vice versa)")
+        if replace_partitions:
+            if parent is None or not partition_by:
+                raise ValueError(
+                    "replace_partitions needs an append chain (parent) and "
+                    "a partition_by column to scope the overwrite"
+                )
+            if count_by != partition_by:
+                raise ValueError(
+                    "replace_partitions needs per-partition accounting: "
+                    "set count_by to the partition_by column"
+                )
         if cluster_by:
             df = df.sortWithinPartitions(*cluster_by)
         snaps = self._snaps(table)
@@ -310,8 +335,16 @@ class SnapshotCatalog:
                 )
             cum_total = pm.get("cumulative_row_count", pm["row_count"]) + total
             pc = pm.get("cumulative_partition_counts") or pm.get("partition_counts")
+            if replace_partitions and pc is None:
+                raise ValueError(
+                    "replace_partitions needs the parent chain to carry "
+                    "per-partition counts (count_by on every chain write)"
+                )
             if pc is not None and per_part is not None:
                 cum_parts = dict(pc)
+                for v in replace_partitions or []:
+                    # the masked ancestor rows leave the cumulative totals
+                    cum_total -= cum_parts.pop(v, 0)
                 for k, v in per_part.items():
                     cum_parts[k] = cum_parts.get(k, 0) + v
         stat_cols = stats_by if stats_by is not None else (cluster_by or [])
@@ -328,6 +361,7 @@ class SnapshotCatalog:
             "cumulative_partition_counts": cum_parts,
             "parent": parent,
             "partition_by": partition_by,
+            "replace_partitions": replace_partitions,
             "bucket_by": bucket_by,
             "n_buckets": n_buckets,
             "input_fingerprint": input_fingerprint,
@@ -469,6 +503,33 @@ class SnapshotCatalog:
             cur = m.get("parent") if m else None
         return list(reversed(chain))
 
+    def _replaced_after(self, table: str, snaps: list[str]) -> dict[str, set]:
+        """For each snapshot in the (oldest-first) chain, the set of
+        partition values that STRICTLY LATER snapshots declared replaced —
+        files of this snapshot under those partitions are dead to any read
+        at or above the chain head. Manifests only."""
+        masks: dict[str, set] = {}
+        acc: set = set()
+        for s in reversed(snaps):
+            masks[s] = set(acc)
+            m = self.manifest(table, s) or {}
+            acc |= set(m.get("replace_partitions") or [])
+        return masks
+
+    def _unmasked_partition_dirs(
+        self, data_dir: str, partition_key: str, mask: set
+    ) -> list[str]:
+        """Partition directories of one snapshot's data dir whose value is
+        not masked. One-level listing, same metadata scope as
+        data_files(); values decode exactly as Spark encoded them."""
+        out = []
+        for d in sorted(os.listdir(data_dir)):
+            if not d.startswith(f"{partition_key}="):
+                continue
+            if urllib.parse.unquote(d.split("=", 1)[1]) not in mask:
+                out.append(os.path.join(data_dir, d))
+        return out
+
     def read(
         self,
         spark: SparkSession,
@@ -485,6 +546,13 @@ class SnapshotCatalog:
         bounded. follow_parents=False reads only the snapshot's own
         delta."""
         dfs = self.read_parts(spark, table, snap, follow_parents=follow_parents)
+        if not dfs:
+            # every file masked by partition replacement: empty frame
+            # with the chain head's schema
+            m = self.manifest(table, snap or self.current_snapshot(table))
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(m["schema"])
+            )
         df = dfs[0]
         for other in dfs[1:]:
             # allowMissingColumns = Iceberg add-column schema evolution:
@@ -511,15 +579,28 @@ class SnapshotCatalog:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         snaps = self._chain(table, snap) if follow_parents else [snap]
+        masks = self._replaced_after(table, snaps)
         parts: list[DataFrame] = []
         for s in snaps:
             m = self.manifest(table, s) or {}
+            data_dir = os.path.join(self._table_dir(table), s, "data")
+            mask = masks.get(s) or set()
             if m.get("bucket_by"):
                 parts.append(spark.table(self._register_bucketed(spark, table, s)))
-            else:
-                parts.append(
-                    spark.read.parquet(os.path.join(self._table_dir(table), s, "data"))
+            elif mask and m.get("partition_by"):
+                # a later snapshot replaced some of this one's partitions:
+                # read only the surviving partition directories (basePath
+                # keeps the partition column in the schema)
+                keep = self._unmasked_partition_dirs(
+                    data_dir, m["partition_by"], mask
                 )
+                if not keep:
+                    continue
+                parts.append(
+                    spark.read.option("basePath", data_dir).parquet(*keep)
+                )
+            else:
+                parts.append(spark.read.parquet(data_dir))
         return parts
 
     # -- maintenance ------------------------------------------------
@@ -543,9 +624,11 @@ class SnapshotCatalog:
         if snap is None:
             return []
         snaps = self._chain(table, snap) if follow_parents else [snap]
+        masks = self._replaced_after(table, snaps)
         out: list[dict] = []
         for s in snaps:
             data_dir = os.path.join(self._table_dir(table), s, "data")
+            mask = masks.get(s) or set()
             for root, _, files in os.walk(data_dir):
                 for fn in sorted(files):
                     if not fn.endswith(".parquet"):
@@ -555,6 +638,8 @@ class SnapshotCatalog:
                     part = None
                     if rel != "." and "=" in rel:
                         part = urllib.parse.unquote(rel.split("=", 1)[1])
+                    if part is not None and part in mask:
+                        continue  # replaced by a later snapshot
                     out.append(
                         {"path": p, "bytes": os.path.getsize(p),
                          "partition": part, "snapshot": s}
@@ -616,19 +701,32 @@ class SnapshotCatalog:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         out = []
-        for s in self._chain(table, snap) if follow_parents else [snap]:
+        snaps = self._chain(table, snap) if follow_parents else [snap]
+        masks = self._replaced_after(table, snaps)
+        for s in snaps:
             m = self.manifest(table, s) or {}
             data_dir = os.path.join(self._table_dir(table), s, "data")
+            mask = masks.get(s) or set()
             fs = m.get("file_stats")
             if fs is None:
-                out.append({"snapshot": s, "data_dir": data_dir,
-                            "paths": None, "total_files": None})
+                if mask and m.get("partition_by"):
+                    # no column stats, but partition replacement still
+                    # bounds the scan to the surviving partition dirs
+                    keep_dirs = self._unmasked_partition_dirs(
+                        data_dir, m["partition_by"], mask
+                    )
+                    out.append({"snapshot": s, "data_dir": data_dir,
+                                "paths": keep_dirs, "total_files": None})
+                else:
+                    out.append({"snapshot": s, "data_dir": data_dir,
+                                "paths": None, "total_files": None})
                 continue
             part_key = m.get("partition_by")
             keep = [
                 os.path.join(data_dir, e["path"])
                 for e in fs
-                if self._stats_admit(e, filters, part_key)
+                if (e.get("partition") is None or e["partition"] not in mask)
+                and self._stats_admit(e, filters, part_key)
             ]
             out.append({"snapshot": s, "data_dir": data_dir,
                         "paths": keep, "total_files": len(fs)})

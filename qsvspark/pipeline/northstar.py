@@ -651,6 +651,131 @@ class NorthStarPipeline:
         )
         return metrics
 
+    def redrive_quarantine(
+        self,
+        redrive_fingerprint: str,
+        dim: DataFrame | None = None,
+    ) -> dict:
+        """Re-process the quarantine partition after the cause is fixed
+        (e.g. the enrich dimension gained the missing sources): rows that
+        now parse and enrich cleanly move to their real sinks; rows that
+        are still bad stay quarantined. One atomic commit via the
+        catalog's dynamic partition overwrite — the delta holds BOTH the
+        redriven rows (real sink partitions, appended) and the still-bad
+        rows (the quarantine partition's replacement contents), ancestor
+        quarantine files are masked, and no committed clean data is
+        rewritten. Aggregates then merge in the newly-clean rows exactly
+        like an increment delta (their doc_ids were never aggregated, so
+        merge-mode uniq_docs stays exact).
+
+        dim: optionally a corrected enrichment dimension; defaults to the
+        pipeline's configured source_dim. Resumable and idempotent like
+        every stage (fingerprinted on redrive_fingerprint).
+        """
+        if not self.quarantine:
+            raise ValueError("redrive_quarantine requires quarantine=True")
+        dim = dim if dim is not None else source_dim(
+            self.spark, self.num_sources, self.num_sinks
+        )
+        metrics: dict = {"stages": {}, "resumed": []}
+        t_start = time.time()
+
+        route_fp = self._config_fp(redrive_fingerprint, "redrive")
+        snap = self.catalog.find_committed("routed", route_fp)
+        cur = self.catalog.manifest("routed")
+        counts = (cur or {}).get("cumulative_partition_counts") or {}
+        if snap is None and not counts.get(QUARANTINE_SINK, 0):
+            # nothing quarantined: no commit to make
+            return {
+                "stages": {}, "resumed": [], "redriven": 0,
+                "still_quarantined": 0,
+                "per_sink_counts": counts,
+                "rows": (cur or {}).get("cumulative_row_count", 0),
+                "total_seconds": round(time.time() - t_start, 3),
+            }
+        if snap:
+            metrics["resumed"].append("redrive")
+            manifest = self.catalog.manifest("routed", snap)
+        else:
+            t0 = time.time()
+            parent = self.catalog.current_snapshot("routed")
+            raw = (
+                self.catalog.read(self.spark, "routed", parent)
+                .where(F.col("sink") == QUARANTINE_SINK)
+                .select("doc_id", "tokens", "n_tok", "source")
+            )
+            reprocessed = quarantine_stage(
+                enrich_stage(parse_stage(raw, self.parse_mode), dim)
+            )
+            target = (
+                self.route_tasks_per_core
+                * self.spark.sparkContext.defaultParallelism
+            )
+            manifest = self.catalog.write(
+                reprocessed.coalesce(max(target, 1)),
+                "routed",
+                input_fingerprint=route_fp,
+                lineage={
+                    "stages": ["parse", "enrich", "route"],
+                    "parse_mode": self.parse_mode,
+                    "inputs": [redrive_fingerprint],
+                    "op": "redrive-quarantine",
+                },
+                partition_by="sink",
+                count_by="sink",
+                compression=self.codec,
+                cluster_by=self.route_cluster_by,
+                parent=parent,
+                replace_partitions=[QUARANTINE_SINK],
+            )
+            metrics["stages"]["redrive"] = round(time.time() - t0, 3)
+        delta = dict(manifest["partition_counts"] or {})
+        still_bad = delta.pop(QUARANTINE_SINK, 0)
+        metrics["redriven"] = sum(delta.values())
+        metrics["still_quarantined"] = still_bad
+        metrics["per_sink_counts"] = manifest["cumulative_partition_counts"]
+        metrics["rows"] = manifest["cumulative_row_count"]
+
+        # merge the newly-clean rows into the aggregates (delta-only scan)
+        agg_fp = self._config_fp(redrive_fingerprint, "aggregate-redrive")
+        if self.catalog.find_committed("aggregates", agg_fp):
+            metrics["resumed"].append("aggregate")
+        elif metrics["redriven"]:
+            t0 = time.time()
+            clean_delta = self.catalog.read(
+                self.spark, "routed", manifest["snapshot"], follow_parents=False
+            ).where(F.col("sink") != QUARANTINE_SINK)
+            delta_agg = aggregate_stage(clean_delta, self.bucket_width)
+            prev_snap = self.catalog.current_snapshot("aggregates")
+            if prev_snap is None:
+                aggs = delta_agg
+            else:
+                prev = self.catalog.read(self.spark, "aggregates", prev_snap)
+                aggs = (
+                    prev.unionByName(delta_agg)
+                    .groupBy("sink", "source", "n_tok_bucket")
+                    .agg(
+                        F.sum("seq_count").alias("seq_count"),
+                        F.sum("uniq_docs").alias("uniq_docs"),
+                        F.sum("tok_sum").alias("tok_sum"),
+                    )
+                )
+            self.catalog.write(
+                aggs,
+                "aggregates",
+                input_fingerprint=agg_fp,
+                lineage={
+                    "stages": ["aggregate"],
+                    "inputs": [route_fp],
+                    "op": "aggregate-redrive",
+                },
+                count_by="sink",
+            )
+            metrics["stages"]["aggregate"] = round(time.time() - t0, 3)
+
+        metrics["total_seconds"] = round(time.time() - t_start, 3)
+        return metrics
+
     # -- maintenance --------------------------------------------------
 
     def compact_sinks(

@@ -503,3 +503,89 @@ class TestHistoryRollback:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["current"] == "snap-00001"
         assert cat.current_snapshot("routed") == "snap-00001"
+
+
+class TestPartitionOverwrite:
+    """Dynamic partition overwrite (Iceberg REPLACE semantics on an
+    append chain): replace_partitions masks ancestor files under the
+    listed partition values; the delta provides their new contents and
+    may simultaneously append to other partitions. Pure metadata —
+    time-travel to the parent still sees the old partition."""
+
+    @pytest.fixture()
+    def chain(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "po"))
+        base = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "k string, v int"
+        )
+        m1 = cat.write(base, "t", partition_by="k", count_by="k",
+                       input_fingerprint="f1", stats_by=["v"])
+        delta = spark.createDataFrame([("a", 5), ("b", 99)], "k string, v int")
+        m2 = cat.write(delta, "t", partition_by="k", count_by="k",
+                       parent=m1["snapshot"], replace_partitions=["b"],
+                       input_fingerprint="f2", stats_by=["v"])
+        return cat, m1, m2
+
+    def test_chain_read_masks_replaced_partition(self, spark, chain):
+        cat, _, _ = chain
+        rows = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+        assert rows == [("a", 1), ("a", 2), ("a", 5), ("b", 99)]
+
+    def test_cumulative_accounting_reflects_replacement(self, chain):
+        _, _, m2 = chain
+        assert m2["cumulative_partition_counts"] == {"a": 3, "b": 1}
+        assert m2["cumulative_row_count"] == 4
+
+    def test_time_travel_to_parent_sees_old_partition(self, spark, chain):
+        cat, m1, _ = chain
+        rows = sorted(
+            (r.k, r.v) for r in cat.read(spark, "t", m1["snapshot"]).collect()
+        )
+        assert rows == [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+
+    def test_data_files_excludes_masked_ancestors(self, chain):
+        cat, m1, _ = chain
+        chain_files = cat.data_files("t")
+        assert not any(
+            f["partition"] == "b" and f["snapshot"] == m1["snapshot"]
+            for f in chain_files
+        )
+        # unmasked when the parent is read standalone
+        solo = cat.data_files("t", m1["snapshot"], follow_parents=False)
+        assert any(f["partition"] == "b" for f in solo)
+
+    def test_scan_with_stats_respects_mask(self, spark, chain):
+        cat, _, _ = chain
+        # v=3 only existed in the replaced partition: masked → no rows
+        assert cat.scan(spark, "t", [("v", "=", 3)]).count() == 0
+        assert cat.scan(spark, "t", [("v", "=", 99)]).count() == 1
+        assert cat.scan(spark, "t", [("k", "=", "a")]).count() == 3
+
+    def test_plan_scan_prunes_masked_files(self, chain):
+        cat, m1, _ = chain
+        plans = {p["snapshot"]: p for p in cat.plan_scan("t", [])}
+        base_paths = plans[m1["snapshot"]]["paths"]
+        assert base_paths is not None
+        assert not any("k=b" in p for p in base_paths)
+
+    def test_replacement_can_empty_a_partition(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "po_empty"))
+        base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        m1 = cat.write(base, "t", partition_by="k", count_by="k")
+        only_a = spark.createDataFrame([("a", 7)], "k string, v int")
+        m2 = cat.write(only_a, "t", partition_by="k", count_by="k",
+                       parent=m1["snapshot"], replace_partitions=["b"])
+        rows = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+        assert rows == [("a", 1), ("a", 7)]
+        assert m2["cumulative_partition_counts"] == {"a": 2}
+
+    def test_validation_requires_parent_and_accounting(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "po_val"))
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(ValueError, match="append chain"):
+            cat.write(df, "t", partition_by="k", count_by="k",
+                      replace_partitions=["a"])
+        m1 = cat.write(df, "t", partition_by="k", count_by="k")
+        with pytest.raises(ValueError, match="per-partition accounting"):
+            cat.write(df, "t", partition_by="k", parent=m1["snapshot"],
+                      replace_partitions=["a"])

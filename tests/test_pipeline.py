@@ -500,3 +500,85 @@ class TestQuarantine:
         pipe = NorthStarPipeline(spark, wh)
         pipe.run(synth_tokens(spark, 50, seed=SEED), input_fingerprint="clean")
         assert "error_reason" not in pipe.routed().columns
+
+
+class TestQuarantineRedrive:
+    """redrive_quarantine: after the cause is fixed, quarantined rows
+    re-route atomically via the catalog's dynamic partition overwrite —
+    newly-clean rows join their real sinks and the aggregates, still-bad
+    rows remain quarantined, committed clean data is never rewritten."""
+
+    NCLEAN = 200
+    BAD = TestQuarantine.BAD  # one of each error_reason
+
+    def _fixed_dim(self, spark):
+        # the unknown_source row ('src99') becomes routable
+        return source_dim(spark).unionByName(
+            spark.createDataFrame(
+                [("src99", "sink_1", "web", 0.5)],
+                "source string, sink string, category string, "
+                "quality_weight double",
+            )
+        )
+
+    @pytest.fixture(scope="class")
+    def redriven(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_redrive"))
+        pipe = NorthStarPipeline(spark, wh, quarantine=True)
+        clean = synth_tokens(spark, self.NCLEAN, seed=SEED)
+        bad = spark.createDataFrame(
+            self.BAD, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        pipe.run(clean.unionByName(bad), input_fingerprint="rd-batch")
+        metrics = pipe.redrive_quarantine("rd-fix", dim=self._fixed_dim(spark))
+        return pipe, metrics
+
+    def test_fixed_row_moves_still_bad_stays(self, redriven):
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        pipe, m = redriven
+        assert m["redriven"] == 1
+        assert m["still_quarantined"] == 2
+        q = pipe.routed().where(F.col("sink") == QUARANTINE_SINK)
+        assert sorted(r["error_reason"] for r in q.collect()) == [
+            "source_mismatch", "unparseable_doc_id",
+        ]
+        moved = pipe.routed().where(F.col("source") == "src99")
+        assert moved.count() == 1
+        assert moved.collect()[0]["sink"] == "sink_1"
+
+    def test_no_duplication_across_chain(self, redriven):
+        pipe, m = redriven
+        assert pipe.routed().count() == self.NCLEAN + len(self.BAD)
+        assert m["rows"] == self.NCLEAN + len(self.BAD)
+        assert (
+            pipe.routed().select("doc_id").distinct().count()
+            == self.NCLEAN + len(self.BAD)
+        )
+
+    def test_aggregates_gain_only_redriven_rows(self, redriven):
+        pipe, _ = redriven
+        total = pipe.aggregates().agg(F.sum("seq_count").alias("n")).collect()[0]["n"]
+        assert total == self.NCLEAN + 1
+
+    def test_redrive_is_resumable(self, spark, redriven):
+        pipe, _ = redriven
+        again = pipe.redrive_quarantine("rd-fix", dim=self._fixed_dim(spark))
+        assert "redrive" in again["resumed"]
+        assert "aggregate" in again["resumed"]
+
+    def test_noop_without_quarantined_rows(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_redrive_noop"))
+        pipe = NorthStarPipeline(spark, wh, quarantine=True)
+        pipe.run(synth_tokens(spark, 50, seed=SEED), input_fingerprint="cl")
+        before = pipe.catalog.current_snapshot("routed")
+        m = pipe.redrive_quarantine("rd-none")
+        assert m["redriven"] == 0 and m["still_quarantined"] == 0
+        # no snapshot committed for a no-op
+        assert pipe.catalog.current_snapshot("routed") == before
+
+    def test_requires_quarantine_mode(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_redrive_req"))
+        pipe = NorthStarPipeline(spark, wh)
+        with pytest.raises(ValueError, match="quarantine=True"):
+            pipe.redrive_quarantine("x")
