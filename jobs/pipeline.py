@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="dead-letter rows that fail parse/enrich to the "
                          "sink_quarantine partition (with error_reason) "
                          "instead of dropping them; aggregates exclude it")
+    ap.add_argument("--purge-docs", metavar="PATH", default=None,
+                    help="takedown: parquet file of doc_id values to "
+                         "delete from the routed table (merge-on-read "
+                         "equality delete; aggregates adjusted exactly); "
+                         "needs --fingerprint but no --input")
     ap.add_argument("--redrive-quarantine", action="store_true",
                     help="re-process the quarantine partition (after the "
                          "cause is fixed): newly-clean rows move to their "
@@ -111,9 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.history:
             print(json.dumps(cat.history(args.history)))
         return 0
-    if args.redrive_quarantine:
+    if args.redrive_quarantine or args.purge_docs:
         if not args.fingerprint:
-            ap.error("--redrive-quarantine requires --fingerprint")
+            ap.error("--redrive-quarantine/--purge-docs require --fingerprint")
     elif not args.input or not args.fingerprint:
         ap.error("--input and --fingerprint are required to run the pipeline")
 
@@ -138,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.redrive_quarantine:
         print(json.dumps(pipe.redrive_quarantine(args.fingerprint)))
+        spark.stop()
+        return 0
+    if args.purge_docs:
+        keys = spark.read.parquet(args.purge_docs)
+        print(json.dumps(pipe.purge_docs(keys, args.fingerprint)))
         spark.stop()
         return 0
     tokens = spark.read.parquet(args.input)

@@ -349,12 +349,19 @@ class SnapshotCatalog:
                     cum_parts[k] = cum_parts.get(k, 0) + v
         stat_cols = stats_by if stats_by is not None else (cluster_by or [])
         file_stats = _footer_file_stats(data_dir, stat_cols) if stat_cols else None
+        # a 0-row delta (e.g. an increment that was entirely duplicates)
+        # writes no parquet files; the declared schema stands in for the
+        # read-back and reads skip the snapshot via row_count == 0
+        if total:
+            schema_json = spark.read.parquet(data_dir).schema.jsonValue()
+        else:
+            schema_json = df.schema.jsonValue()
         manifest = {
             "table": table,
             "snapshot": snap,
             "committed": True,
             "created_at_unix": int(t0),
-            "schema": spark.read.parquet(data_dir).schema.jsonValue(),
+            "schema": schema_json,
             "row_count": total,
             "partition_counts": per_part,
             "cumulative_row_count": cum_total,
@@ -375,6 +382,139 @@ class SnapshotCatalog:
         with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
             f.write(snap)
         return manifest
+
+    def delete_rows(
+        self,
+        spark: SparkSession,
+        table: str,
+        keys: DataFrame,
+        on: list[str],
+        *,
+        input_fingerprint: str = "",
+        lineage: dict | None = None,
+    ) -> dict:
+        """Iceberg EQUALITY DELETE, merge-on-read: commit a snapshot that
+        carries only a key file — rows in EARLIER snapshots whose ``on``
+        columns match any key row are dead to every read at or above this
+        snapshot; rows appended LATER are untouched (standard Iceberg
+        sequence-number semantics). No data file is rewritten; compaction
+        is the rewrite that applies deletes physically.
+
+        This is the takedown/contamination-removal primitive a training
+        corpus needs at 10^12 rows: deleting a document list costs one
+        small key file plus one column-pruned accounting scan, not a
+        rewrite of the table. Note the interplay with the dedup_keys
+        chain: deleted content's keys stay committed, so re-shipped
+        copies of taken-down content are still dropped — which is the
+        desired takedown semantics.
+
+        Accounting stays EXACT: one column-pruned broadcast semi-join
+        against the current chain counts the matching rows (total and
+        per-partition) before commit, and the manifest's cumulative
+        totals subtract them. Reads apply the keys as a broadcast
+        LEFT ANTI join per chain element — broadcast preserves the
+        child's partitioning, so bucketed chain elements keep their
+        shuffle-free join property through a delete.
+        """
+        if not on:
+            raise ValueError("delete_rows needs at least one key column")
+        parent = self.current_snapshot(table)
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{table}'")
+        pm = self.manifest(table, parent)
+        # exact accounting scan: only the key + partition columns are read
+        part_key = pm.get("partition_by")
+        doomed = self.read(spark, table, parent).join(
+            F.broadcast(keys.select(*on).distinct()), on, "left_semi"
+        )
+        if part_key:
+            per_part_deleted = {
+                str(r[part_key]): r["n"]
+                for r in doomed.groupBy(part_key)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            deleted_total = sum(per_part_deleted.values())
+        else:
+            per_part_deleted = None
+            deleted_total = doomed.count()
+
+        snaps = self._snaps(table)
+        snap = f"snap-{len(snaps) + 1:05d}"
+        snap_dir = os.path.join(self._table_dir(table), snap)
+        delete_dir = os.path.join(snap_dir, "deletes")
+        keys.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
+            delete_dir
+        )
+
+        cum_total = pm.get("cumulative_row_count", pm["row_count"]) - deleted_total
+        pc = pm.get("cumulative_partition_counts") or pm.get("partition_counts")
+        cum_parts = None
+        if pc is not None:
+            cum_parts = dict(pc)
+            for k, v in (per_part_deleted or {}).items():
+                left = cum_parts.get(k, 0) - v
+                if left > 0:
+                    cum_parts[k] = left
+                else:
+                    cum_parts.pop(k, None)
+        manifest = {
+            "table": table,
+            "snapshot": snap,
+            "committed": True,
+            "created_at_unix": int(time.time()),
+            "schema": pm["schema"],
+            "row_count": 0,
+            "partition_counts": {} if part_key else None,
+            "deleted_row_count": deleted_total,
+            "deleted_partition_counts": per_part_deleted,
+            "equality_delete_cols": list(on),
+            "cumulative_row_count": cum_total,
+            "cumulative_partition_counts": cum_parts,
+            "parent": parent,
+            "partition_by": pm.get("partition_by"),
+            "bucket_by": pm.get("bucket_by"),
+            "n_buckets": pm.get("n_buckets", 0),
+            "input_fingerprint": input_fingerprint,
+            "lineage": {**(lineage or {}), "op": "equality-delete"},
+        }
+        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
+            f.write(snap)
+        return manifest
+
+    def _delete_specs(
+        self, table: str, snaps: list[str]
+    ) -> dict[str, list[tuple[list[str], str]]]:
+        """For each chain snapshot (oldest first): the (key_cols,
+        delete_dir) pairs from STRICTLY LATER delete snapshots that apply
+        to its rows. Manifests only."""
+        specs: dict[str, list[tuple[list[str], str]]] = {}
+        acc: list[tuple[list[str], str]] = []
+        for s in reversed(snaps):
+            specs[s] = list(acc)
+            m = self.manifest(table, s) or {}
+            if m.get("equality_delete_cols"):
+                acc.append(
+                    (
+                        m["equality_delete_cols"],
+                        os.path.join(self._table_dir(table), s, "deletes"),
+                    )
+                )
+        return specs
+
+    def _apply_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        specs: list[tuple[list[str], str]],
+    ) -> DataFrame:
+        for cols, delete_dir in specs:
+            df = df.join(
+                F.broadcast(spark.read.parquet(delete_dir)), cols, "left_anti"
+            )
+        return df
 
     # -- snapshot history / time travel --------------------------------
 
@@ -580,9 +720,14 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         snaps = self._chain(table, snap) if follow_parents else [snap]
         masks = self._replaced_after(table, snaps)
+        deletes = self._delete_specs(table, snaps)
         parts: list[DataFrame] = []
         for s in snaps:
             m = self.manifest(table, s) or {}
+            if m.get("equality_delete_cols"):
+                continue  # delete snapshots carry keys, not data
+            if m.get("row_count") == 0:
+                continue  # empty delta: no files on disk
             data_dir = os.path.join(self._table_dir(table), s, "data")
             mask = masks.get(s) or set()
             if m.get("bucket_by"):
@@ -601,6 +746,10 @@ class SnapshotCatalog:
                 )
             else:
                 parts.append(spark.read.parquet(data_dir))
+            if deletes.get(s):
+                # broadcast LEFT ANTI keeps the part's reported
+                # partitioning (bucketed parts stay join-co-located)
+                parts[-1] = self._apply_deletes(spark, parts[-1], deletes[s])
         return parts
 
     # -- maintenance ------------------------------------------------
@@ -705,6 +854,8 @@ class SnapshotCatalog:
         masks = self._replaced_after(table, snaps)
         for s in snaps:
             m = self.manifest(table, s) or {}
+            if m.get("equality_delete_cols") or m.get("row_count") == 0:
+                continue  # keys-only or empty delta: no data files
             data_dir = os.path.join(self._table_dir(table), s, "data")
             mask = masks.get(s) or set()
             fs = m.get("file_stats")
@@ -758,6 +909,9 @@ class SnapshotCatalog:
         for _, op, _v in filters:
             if op not in _OPS:
                 raise ValueError(f"unsupported scan op {op!r}")
+        _snap = snap or self.current_snapshot(table)
+        _snaps = self._chain(table, _snap) if follow_parents else [_snap]
+        _deletes = self._delete_specs(table, _snaps)
         parts: list[DataFrame] = []
         for plan in self.plan_scan(table, filters, snap,
                                    follow_parents=follow_parents):
@@ -772,6 +926,8 @@ class SnapshotCatalog:
                     spark.read.option("basePath", plan["data_dir"])
                     .parquet(*plan["paths"])
                 )
+            if _deletes.get(plan["snapshot"]):
+                df = self._apply_deletes(spark, df, _deletes[plan["snapshot"]])
             parts.append(df)
         if not parts:
             # all files pruned: empty frame with the manifest schema
@@ -890,10 +1046,19 @@ class SnapshotCatalog:
                 # (bucket × chain element) instead of one per bucket —
                 # exactly the small files this rewrite exists to remove.
                 balanced = None
-                for s in self._chain(table, src):
+                chain = self._chain(table, src)
+                del_specs = self._delete_specs(table, chain)
+                for s in chain:
+                    sm = self.manifest(table, s) or {}
+                    if sm.get("equality_delete_cols") or sm.get("row_count") == 0:
+                        continue  # keys-only or empty delta
                     part = spark.read.parquet(
                         os.path.join(self._table_dir(table), s, "data")
                     )
+                    if del_specs.get(s):
+                        # broadcast anti preserves partitioning, so the
+                        # writer's repartition elision still holds
+                        part = self._apply_deletes(spark, part, del_specs[s])
                     balanced = (
                         part
                         if balanced is None

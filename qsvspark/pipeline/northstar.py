@@ -776,6 +776,92 @@ class NorthStarPipeline:
         metrics["total_seconds"] = round(time.time() - t_start, 3)
         return metrics
 
+    def purge_docs(self, doc_ids: DataFrame, purge_fingerprint: str) -> dict:
+        """Takedown / contamination removal: delete every routed row whose
+        doc_id is in ``doc_ids`` and subtract exactly those rows from the
+        aggregates — WITHOUT rewriting any data file. The routed delete is
+        one equality-delete commit (merge-on-read; compaction applies it
+        physically later); the aggregate fix-up is a merge of the doomed
+        rows' own aggregate, computed from the PRE-DELETE snapshot so a
+        crash between the two commits resumes exactly.
+
+        uniq_docs stays exact because an equality delete removes ALL rows
+        of a doc_id (count_distinct decrements match count decrements of
+        the doomed aggregate). Deleted content's dedup keys stay in the
+        dedup_keys chain, so re-shipped copies of taken-down content are
+        still dropped — the takedown semantics a training corpus wants.
+        """
+        metrics: dict = {"stages": {}, "resumed": []}
+        t_start = time.time()
+        keys = doc_ids.select("doc_id").distinct()
+
+        del_fp = self._config_fp(purge_fingerprint, "purge")
+        snap = self.catalog.find_committed("routed", del_fp)
+        if snap:
+            metrics["resumed"].append("delete")
+            manifest = self.catalog.manifest("routed", snap)
+        else:
+            t0 = time.time()
+            manifest = self.catalog.delete_rows(
+                self.spark,
+                "routed",
+                keys,
+                on=["doc_id"],
+                input_fingerprint=del_fp,
+                lineage={"inputs": [purge_fingerprint]},
+            )
+            metrics["stages"]["delete"] = round(time.time() - t0, 3)
+        metrics["deleted"] = manifest["deleted_row_count"]
+        metrics["per_sink_counts"] = manifest["cumulative_partition_counts"]
+        metrics["rows"] = manifest["cumulative_row_count"]
+
+        agg_fp = self._config_fp(purge_fingerprint, "aggregate-purge")
+        if self.catalog.find_committed("aggregates", agg_fp):
+            metrics["resumed"].append("aggregate")
+        elif metrics["deleted"]:
+            t0 = time.time()
+            # the doomed rows come from the delete's PARENT snapshot:
+            # correct even when resuming after the delete already
+            # committed (the current chain no longer shows those rows)
+            doomed = self.catalog.read(
+                self.spark, "routed", manifest["parent"]
+            ).join(F.broadcast(keys), "doc_id", "left_semi")
+            if self.quarantine:
+                doomed = doomed.where(F.col("sink") != QUARANTINE_SINK)
+            doomed_agg = aggregate_stage(doomed, self.bucket_width)
+            prev = self.catalog.read(self.spark, "aggregates")
+            neg = doomed_agg.select(
+                "sink", "source", "n_tok_bucket",
+                (-F.col("seq_count")).alias("seq_count"),
+                (-F.col("uniq_docs")).alias("uniq_docs"),
+                (-F.col("tok_sum")).alias("tok_sum"),
+            )
+            aggs = (
+                prev.unionByName(neg)
+                .groupBy("sink", "source", "n_tok_bucket")
+                .agg(
+                    F.sum("seq_count").alias("seq_count"),
+                    F.sum("uniq_docs").alias("uniq_docs"),
+                    F.sum("tok_sum").alias("tok_sum"),
+                )
+                .where(F.col("seq_count") > 0)
+            )
+            self.catalog.write(
+                aggs,
+                "aggregates",
+                input_fingerprint=agg_fp,
+                lineage={
+                    "stages": ["aggregate"],
+                    "inputs": [del_fp],
+                    "op": "aggregate-purge",
+                },
+                count_by="sink",
+            )
+            metrics["stages"]["aggregate"] = round(time.time() - t0, 3)
+
+        metrics["total_seconds"] = round(time.time() - t_start, 3)
+        return metrics
+
     # -- maintenance --------------------------------------------------
 
     def compact_sinks(

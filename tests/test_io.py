@@ -589,3 +589,78 @@ class TestPartitionOverwrite:
         with pytest.raises(ValueError, match="per-partition accounting"):
             cat.write(df, "t", partition_by="k", parent=m1["snapshot"],
                       replace_partitions=["a"])
+
+
+class TestEqualityDelete:
+    """Merge-on-read equality deletes (Iceberg DELETE semantics): a
+    delete snapshot carries only a key file; rows in earlier snapshots
+    matching the keys are dead to chain reads, later appends are
+    untouched, accounting stays exact, and compaction applies the
+    deletes physically."""
+
+    @pytest.fixture()
+    def deleted(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "eq"))
+        m1 = cat.write(
+            spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int"),
+            "t", partition_by="k", count_by="k",
+        )
+        m2 = cat.write(
+            spark.createDataFrame([("a", 4), ("b", 5)], "k string, v int"),
+            "t", partition_by="k", count_by="k", parent=m1["snapshot"],
+        )
+        dm = cat.delete_rows(
+            spark, "t", spark.createDataFrame([(2,), (5,), (99,)], "v int"),
+            on=["v"], input_fingerprint="del1",
+        )
+        return cat, m1, m2, dm
+
+    def test_chain_read_excludes_matching_rows(self, spark, deleted):
+        cat, _, _, dm = deleted
+        rows = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+        assert rows == [("a", 1), ("a", 4), ("b", 3)]
+        assert dm["deleted_row_count"] == 2
+        assert dm["deleted_partition_counts"] == {"a": 1, "b": 1}
+
+    def test_accounting_subtracts_deleted(self, deleted):
+        _, _, _, dm = deleted
+        assert dm["cumulative_row_count"] == 3
+        assert dm["cumulative_partition_counts"] == {"a": 2, "b": 1}
+
+    def test_later_appends_not_affected(self, spark, deleted):
+        cat, _, _, dm = deleted
+        cat.write(
+            spark.createDataFrame([("a", 2)], "k string, v int"),
+            "t", partition_by="k", count_by="k", parent=dm["snapshot"],
+        )
+        rows = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+        assert rows == [("a", 1), ("a", 2), ("a", 4), ("b", 3)]
+
+    def test_time_travel_pre_delete_unchanged(self, spark, deleted):
+        cat, _, m2, _ = deleted
+        rows = sorted(
+            (r.k, r.v) for r in cat.read(spark, "t", m2["snapshot"]).collect()
+        )
+        assert rows == [("a", 1), ("a", 2), ("a", 4), ("b", 3), ("b", 5)]
+
+    def test_scan_applies_deletes(self, spark, deleted):
+        cat, _, _, _ = deleted
+        assert cat.scan(spark, "t", [("k", "=", "b")]).count() == 1
+        assert cat.scan(spark, "t", [("k", "=", "a")]).count() == 2
+
+    def test_compact_applies_deletes_physically(self, spark, deleted):
+        cat, _, _, _ = deleted
+        cm = cat.compact(spark, "t", target_file_bytes=1 << 20, force=True)
+        assert cm["parent"] is None  # chain flattened
+        rows = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+        assert rows == [("a", 1), ("a", 4), ("b", 3)]
+        assert cm["cumulative_row_count"] == 3
+
+    def test_delete_preserves_broadcast_anti_plan(self, spark, deleted):
+        cat, _, _, _ = deleted
+        df = cat.read(spark, "t")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan

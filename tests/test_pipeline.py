@@ -582,3 +582,64 @@ class TestQuarantineRedrive:
         pipe = NorthStarPipeline(spark, wh)
         with pytest.raises(ValueError, match="quarantine=True"):
             pipe.redrive_quarantine("x")
+
+
+class TestPurgeDocs:
+    """purge_docs: takedown of a doc_id list via merge-on-read equality
+    delete on the routed table plus an exact aggregate fix-up computed
+    from the pre-delete snapshot (crash-safe resume)."""
+
+    N = 300
+
+    @pytest.fixture(scope="class")
+    def purged(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("wh_purge"))
+        pipe = NorthStarPipeline(spark, wh)
+        tok = synth_tokens(spark, self.N, seed=21)
+        pipe.run(tok, input_fingerprint="p1")
+        victims = tok.limit(5).select("doc_id")
+        victim_ids = [r.doc_id for r in victims.collect()]
+        metrics = pipe.purge_docs(victims, "take-1")
+        return pipe, tok, victim_ids, metrics
+
+    def test_rows_deleted_without_rewrite(self, spark, purged):
+        pipe, _, victim_ids, m = purged
+        assert m["deleted"] == 5
+        assert pipe.routed().count() == self.N - 5
+        assert pipe.routed().where(F.col("doc_id").isin(victim_ids)).count() == 0
+        # merge-on-read: the original routed data files were not touched
+        dm = pipe.catalog.manifest("routed")
+        assert dm["row_count"] == 0 and dm["equality_delete_cols"] == ["doc_id"]
+
+    def test_aggregates_match_recompute_over_survivors(self, spark, purged):
+        pipe, tok, victim_ids, _ = purged
+        direct = aggregate_stage(
+            enrich_stage(
+                parse_stage(tok.where(~F.col("doc_id").isin(victim_ids)), "native"),
+                source_dim(spark),
+            )
+        )
+        got = {tuple(r[:3]): tuple(r[3:]) for r in pipe.aggregates().collect()}
+        want = {tuple(r[:3]): tuple(r[3:]) for r in direct.collect()}
+        assert got == want
+
+    def test_purge_is_resumable(self, purged):
+        pipe, tok, _, _ = purged
+        again = pipe.purge_docs(tok.limit(5).select("doc_id"), "take-1")
+        assert "delete" in again["resumed"]
+        assert "aggregate" in again["resumed"]
+
+    def test_purged_content_stays_deduped(self, spark, tmp_path_factory):
+        """Takedown semantics with dedup: deleting a doc does NOT free its
+        content key — a re-shipped copy is still dropped."""
+        wh = str(tmp_path_factory.mktemp("wh_purge_dedup"))
+        pipe = NorthStarPipeline(spark, wh, parse_mode="native", dedup="exact")
+        h1 = synth_tokens(spark, 100, seed=31)
+        pipe.run_increment(h1, "inc1")
+        victims = h1.limit(3).select("doc_id")
+        pipe.purge_docs(victims, "take-d")
+        assert pipe.routed().count() == 97
+        # re-ship the whole batch under fresh doc_ids: all 100 are dups
+        m = pipe.run_increment(_shift_doc_ids(h1), "inc2")
+        assert m["delta_rows"] == 0
+        assert pipe.routed().count() == 97
