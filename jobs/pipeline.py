@@ -99,15 +99,24 @@ def main(argv: list[str] | None = None) -> int:
                          "Spark job) and exit")
     ap.add_argument("--rollback", nargs=2, metavar=("TABLE", "SNAP"),
                     default=None,
-                    help="repoint TABLE's CURRENT at SNAP (pure metadata; "
-                         "newer snapshots stay until expiry) and exit")
+                    help="repoint TABLE's CURRENT at SNAP (snapshot id or "
+                         "tag name; pure metadata; newer snapshots stay "
+                         "until expiry) and exit")
+    ap.add_argument("--tag", nargs=2, metavar=("TABLE", "NAME"), default=None,
+                    help="pin NAME to TABLE's CURRENT snapshot (immutable "
+                         "named ref; read/rollback/expiry resolve it) and "
+                         "exit")
     args = ap.parse_args(argv)
 
     # metadata-only maintenance: no SparkSession needed
-    if args.history or args.rollback:
+    if args.history or args.rollback or args.tag:
         from qsvspark.io.snapshot import SnapshotCatalog
 
         cat = SnapshotCatalog(args.warehouse)
+        if args.tag:
+            table, name = args.tag
+            snap = cat.tag(table, name)
+            print(json.dumps({"tagged": table, "tag": name, "snapshot": snap}))
         if args.rollback:
             table, snap = args.rollback
             m = cat.rollback(table, snap)

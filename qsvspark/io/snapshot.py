@@ -155,7 +155,7 @@ class SnapshotCatalog:
         return None
 
     def manifest(self, table: str, snap: str | None = None) -> dict | None:
-        snap = snap or self.current_snapshot(table)
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
         if snap is None:
             return None
         mpath = os.path.join(self._table_dir(table), snap, "manifest.json")
@@ -536,9 +536,68 @@ class SnapshotCatalog:
                     "row_count": m.get("row_count"),
                     "cumulative_row_count": m.get("cumulative_row_count"),
                     "is_current": s == self.current_snapshot(table),
+                    "tags": sorted(
+                        t for t, ts in self.tags(table).items() if ts == s
+                    ),
                 }
             )
         return out
+
+    # -- tags (named snapshot refs) -------------------------------------
+
+    def _tags_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "TAGS.json")
+
+    def tags(self, table: str) -> dict[str, str]:
+        """All tags: name → snapshot id (Iceberg named references)."""
+        p = self._tags_path(table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def tag(self, table: str, name: str, snap: str | None = None) -> str:
+        """Pin a name to a committed snapshot (Iceberg ``create_tag``):
+        an immutable, human-meaningful reference — 'prod', 'pre-purge',
+        'audit-2026-08' — that ``read(snap=name)`` and expiry both
+        resolve. Defaults to CURRENT. Pure metadata; re-tagging an
+        existing name errors (drop it first), matching Iceberg."""
+        if name.startswith("snap-"):
+            raise ValueError("tag names must not collide with snapshot ids")
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
+        m = self.manifest(table, snap)
+        if m is None or not m.get("committed"):
+            raise FileNotFoundError(
+                f"cannot tag: no committed snapshot '{snap}' in '{table}'"
+            )
+        tags = self.tags(table)
+        if name in tags:
+            raise ValueError(
+                f"tag '{name}' already exists (on {tags[name]}); "
+                "drop_tag it first"
+            )
+        tags[name] = snap
+        with open(self._tags_path(table), "w") as f:
+            json.dump(tags, f, indent=2)
+        return snap
+
+    def drop_tag(self, table: str, name: str) -> None:
+        tags = self.tags(table)
+        if name not in tags:
+            raise KeyError(f"no tag '{name}' on '{table}'")
+        del tags[name]
+        with open(self._tags_path(table), "w") as f:
+            json.dump(tags, f, indent=2)
+
+    def _resolve_ref(self, table: str, ref: str | None) -> str | None:
+        """A snapshot argument anywhere in the API may be a snapshot id
+        or a tag name."""
+        if ref is None or ref.startswith("snap-"):
+            return ref
+        tags = self.tags(table)
+        if ref in tags:
+            return tags[ref]
+        return ref
 
     def rollback(self, table: str, snap: str) -> dict:
         """Point CURRENT back at an older committed snapshot (Iceberg
@@ -546,7 +605,9 @@ class SnapshotCatalog:
         snapshots stay on disk (roll forward by rolling 'back' to them)
         until ``expire_snapshots`` reclaims them. Time-travel READS don't
         need this — ``read(table, snap=...)`` already scans any committed
-        snapshot — rollback changes what readers of CURRENT see next."""
+        snapshot — rollback changes what readers of CURRENT see next.
+        Accepts a tag name as well as a snapshot id."""
+        snap = self._resolve_ref(table, snap)
         m = self.manifest(table, snap)
         if m is None or not m.get("committed"):
             raise FileNotFoundError(
@@ -715,7 +776,7 @@ class SnapshotCatalog:
         that join/anti-join the chain element-wise keep every element
         shuffle-free on the bucket key, which a union (whose output
         partitioning Spark discards) cannot."""
-        snap = snap or self.current_snapshot(table)
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         snaps = self._chain(table, snap) if follow_parents else [snap]
@@ -769,7 +830,7 @@ class SnapshotCatalog:
         storage; here the snapshot directory IS the metadata scope, so
         the walk stays bounded to the snapshot chain.
         """
-        snap = snap or self.current_snapshot(table)
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
         if snap is None:
             return []
         snaps = self._chain(table, snap) if follow_parents else [snap]
@@ -846,7 +907,7 @@ class SnapshotCatalog:
         in the chain: ``{"snapshot", "data_dir", "paths", "total_files"}``
         where paths is the admitted subset (None = stats absent, scan the
         whole directory)."""
-        snap = snap or self.current_snapshot(table)
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         out = []
@@ -909,7 +970,7 @@ class SnapshotCatalog:
         for _, op, _v in filters:
             if op not in _OPS:
                 raise ValueError(f"unsupported scan op {op!r}")
-        _snap = snap or self.current_snapshot(table)
+        _snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
         _snaps = self._chain(table, _snap) if follow_parents else [_snap]
         _deletes = self._delete_specs(table, _snaps)
         parts: list[DataFrame] = []
@@ -947,8 +1008,10 @@ class SnapshotCatalog:
 
     def expire_snapshots(self, table: str, *, keep_last: int = 1) -> list[str]:
         """Delete snapshot directories that are neither among the newest
-        ``keep_last`` committed snapshots, nor CURRENT, nor a parent in a
-        retained snapshot's append chain (Iceberg ``expire_snapshots``).
+        ``keep_last`` committed snapshots, nor CURRENT, nor TAGGED, nor a
+        parent in a retained snapshot's append chain (Iceberg
+        ``expire_snapshots``, which likewise never drops a snapshot a
+        named reference can still reach).
         Uncommitted snap dirs (failed writes — data present, manifest
         absent) are always removed: that is the orphan-file cleanup half
         of the maintenance story. Returns the deleted snapshot ids."""
@@ -962,6 +1025,7 @@ class SnapshotCatalog:
         cur = self.current_snapshot(table)
         if cur is not None:
             roots.add(cur)
+        roots.update(self.tags(table).values())
         for r in roots:
             retained.update(self._chain(table, r))
         deleted = []

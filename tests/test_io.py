@@ -664,3 +664,65 @@ class TestEqualityDelete:
         )
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestTags:
+    """Named snapshot references (Iceberg tags): immutable name → snapshot
+    pins that reads, rollback, and expiry all resolve."""
+
+    @pytest.fixture()
+    def tagged(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "tags"))
+        m1 = cat.write(
+            spark.createDataFrame([(1,), (2,)], "v int"), "t",
+            input_fingerprint="a",
+        )
+        cat.tag("t", "prod")  # defaults to CURRENT == snap-00001
+        m2 = cat.write(
+            spark.createDataFrame([(3,)], "v int"), "t", input_fingerprint="b",
+        )
+        return cat, m1, m2
+
+    def test_read_by_tag_time_travels(self, spark, tagged):
+        cat, m1, _ = tagged
+        assert cat.read(spark, "t", "prod").count() == 2
+        assert cat.read(spark, "t").count() == 1  # CURRENT is snap-00002
+        assert cat.manifest("t", "prod")["snapshot"] == m1["snapshot"]
+
+    def test_tag_is_immutable_until_dropped(self, tagged):
+        cat, _, _ = tagged
+        with pytest.raises(ValueError, match="already exists"):
+            cat.tag("t", "prod")
+        cat.drop_tag("t", "prod")
+        cat.tag("t", "prod")  # re-create on the new CURRENT
+        assert cat.tags("t")["prod"] == "snap-00002"
+
+    def test_rollback_accepts_tag(self, tagged):
+        cat, m1, _ = tagged
+        m = cat.rollback("t", "prod")
+        assert m["snapshot"] == m1["snapshot"]
+        assert cat.current_snapshot("t") == m1["snapshot"]
+
+    def test_expire_retains_tagged_snapshots(self, spark, tagged):
+        cat, m1, m2 = tagged
+        m3 = cat.write(
+            spark.createDataFrame([(4,)], "v int"), "t", input_fingerprint="c",
+        )
+        deleted = cat.expire_snapshots("t", keep_last=1)
+        # snap-00002 (untagged, not current) expired; snap-00001 kept by tag
+        assert deleted == [m2["snapshot"]]
+        assert cat.read(spark, "t", "prod").count() == 2
+        assert cat.current_snapshot("t") == m3["snapshot"]
+
+    def test_history_lists_tags(self, tagged):
+        cat, m1, _ = tagged
+        h = {e["snapshot"]: e for e in cat.history("t")}
+        assert h[m1["snapshot"]]["tags"] == ["prod"]
+        assert h["snap-00002"]["tags"] == []
+
+    def test_tag_name_validation(self, tagged):
+        cat, _, _ = tagged
+        with pytest.raises(ValueError, match="collide"):
+            cat.tag("t", "snap-00001")
+        with pytest.raises(FileNotFoundError):
+            cat.tag("t", "x", "snap-09999")

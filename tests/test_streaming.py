@@ -386,3 +386,57 @@ class TestStreamingNearDup:
         }
         # 5 admitted members per bucket -> at most C(5,2)=10 distinct pairs
         assert 0 < len(pairs) <= 10
+
+
+class TestStreamingQuarantine:
+    def test_streamed_bad_rows_quarantine_and_redrive(
+        self, spark, tmp_path_factory
+    ):
+        """incremental_ingest inherits the pipe's quarantine config: bad
+        rows arriving in a micro-batch dead-letter instead of failing the
+        stream, aggregates exclude them, and a later redrive recovers the
+        fixable ones."""
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+        from qsvspark.pipeline.tokens import source_dim
+
+        base = tmp_path_factory.mktemp("stream_dlq")
+        inp, wh, ckpt = str(base / "in"), str(base / "wh"), str(base / "ckpt")
+        synth_tokens(spark, 500, seed=41, num_partitions=2).write.parquet(
+            os.path.join(inp, "batch1")
+        )
+        bad = spark.createDataFrame(
+            [
+                ("garbage-###", [1, 2], 2, "src00"),
+                ("src99/part-0001/doc-000000000042", [3], 1, "src99"),
+            ],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        synth_tokens(spark, 300, seed=42, num_partitions=1, id_offset=10**7
+                     ).unionByName(bad).write.parquet(os.path.join(inp, "batch2"))
+
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1, quarantine=True)
+        q = incremental_ingest(spark, inp + "/*/", pipe, ckpt,
+                               max_files_per_trigger=2)
+        q.awaitTermination(180)
+
+        assert pipe.routed().count() == 802
+        quarantined = pipe.routed().where(F.col("sink") == QUARANTINE_SINK)
+        assert quarantined.count() == 2
+        total = pipe.aggregates().agg(
+            F.sum("seq_count").alias("n")).collect()[0]["n"]
+        assert total == 800
+
+        # fix the dimension and redrive: src99 recovers, garbage stays
+        fixed = source_dim(spark).unionByName(
+            spark.createDataFrame(
+                [("src99", "sink_1", "web", 0.5)],
+                "source string, sink string, category string, "
+                "quality_weight double",
+            )
+        )
+        m = pipe.redrive_quarantine("stream-fix", dim=fixed)
+        assert m["redriven"] == 1 and m["still_quarantined"] == 1
+        total = pipe.aggregates().agg(
+            F.sum("seq_count").alias("n")).collect()[0]["n"]
+        assert total == 801
