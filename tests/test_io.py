@@ -726,3 +726,125 @@ class TestTags:
             cat.tag("t", "snap-00001")
         with pytest.raises(FileNotFoundError):
             cat.tag("t", "x", "snap-09999")
+
+
+class TestCatalogModelBased:
+    """Model-based property test: a random sequence of appends, dynamic
+    partition overwrites, and equality deletes applied to BOTH the
+    catalog and a plain in-memory model must agree — on every read, after
+    every op — in rows AND cumulative accounting. This pins the
+    interaction semantics of the three mutation paths (e.g. delete keys
+    do not touch rows appended later; a replace drops masked rows from
+    accounting; a delete after a replace only sees surviving rows)."""
+
+    PARTS = ["a", "b", "c"]
+
+    def _apply_model(self, model, op):
+        kind = op[0]
+        if kind == "append":
+            model.extend(op[1])
+        elif kind == "replace":
+            vals, rows = op[1], op[2]
+            model[:] = [r for r in model if r[0] not in vals] + rows
+        elif kind == "delete":
+            keys = set(op[1])
+            model[:] = [r for r in model if r[1] not in keys]
+        return model
+
+    def _apply_catalog(self, spark, cat, op):
+        kind = op[0]
+        parent = cat.current_snapshot("t")
+        if kind == "append":
+            if not op[1]:
+                return
+            cat.write(
+                spark.createDataFrame(op[1], "k string, v int"), "t",
+                partition_by="k", count_by="k", parent=parent,
+            )
+        elif kind == "replace":
+            vals, rows = op[1], op[2]
+            # a replace delta may be empty only if it writes other parts;
+            # guarantee at least one row so the parquet writer has output
+            df = spark.createDataFrame(
+                rows or [("zz-sentinel", -1)], "k string, v int"
+            )
+            if not rows:
+                df = df.where("v >= 0")  # truly empty frame
+                if parent is None:
+                    return
+                # empty replacement is legal: partition disappears
+            if parent is None:
+                return
+            cat.write(df, "t", partition_by="k", count_by="k",
+                      parent=parent, replace_partitions=list(vals))
+        elif kind == "delete":
+            if parent is None or not op[1]:
+                return
+            cat.delete_rows(
+                spark, "t",
+                spark.createDataFrame([(v,) for v in op[1]], "v int"),
+                on=["v"],
+            )
+
+    def test_random_mutation_sequences_match_model(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        parts = self.PARTS
+        vseq = iter(range(10_000))  # unique v values across the whole run
+
+        rows_strat = st.lists(
+            st.sampled_from(parts), min_size=0, max_size=4
+        ).map(lambda ks: [(k, next(vseq)) for k in ks])
+
+        def op_strat(model_vals):
+            return st.one_of(
+                st.tuples(st.just("append"), rows_strat),
+                st.tuples(
+                    st.just("replace"),
+                    st.lists(st.sampled_from(parts), min_size=1, max_size=2,
+                             unique=True),
+                    rows_strat,
+                ),
+                st.tuples(
+                    st.just("delete"),
+                    st.lists(st.integers(0, 9_999), min_size=1, max_size=3,
+                             unique=True),
+                ),
+            )
+
+        case_n = iter(range(1_000))
+
+        @settings(max_examples=6, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.data())
+        def run(data):
+            cat = SnapshotCatalog(str(tmp_path / f"mb{next(case_n)}"))
+            model: list = []
+            # seed commit so replaces/deletes have a chain to act on
+            seed = [(k, next(vseq)) for k in parts]
+            cat.write(spark.createDataFrame(seed, "k string, v int"), "t",
+                      partition_by="k", count_by="k")
+            model.extend(seed)
+            n_ops = data.draw(st.integers(2, 5))
+            for _ in range(n_ops):
+                op = data.draw(op_strat(model))
+                if op[0] == "delete":
+                    # bias: mostly delete values that exist
+                    existing = [r[1] for r in model]
+                    if existing and data.draw(st.booleans()):
+                        op = ("delete", data.draw(
+                            st.lists(st.sampled_from(existing), min_size=1,
+                                     max_size=3, unique=True)))
+                self._apply_catalog(spark, cat, op)
+                self._apply_model(model, op)
+                got = sorted((r.k, r.v) for r in cat.read(spark, "t").collect())
+                assert got == sorted(model), f"after {op}: {got} != {sorted(model)}"
+                m = cat.manifest("t")
+                assert m["cumulative_row_count"] == len(model)
+                want_counts = {}
+                for k, _v in model:
+                    want_counts[k] = want_counts.get(k, 0) + 1
+                assert (m["cumulative_partition_counts"] or {}) == want_counts
+
+        run()
