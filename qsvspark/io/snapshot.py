@@ -510,10 +510,17 @@ class SnapshotCatalog:
         df: DataFrame,
         specs: list[tuple[list[str], str]],
     ) -> DataFrame:
+        # many takedowns accumulate many delete snapshots; group the key
+        # files by key-column set so a chain element pays ONE broadcast
+        # anti-join per column set, not one per delete commit (the union
+        # of key files is what Iceberg's reader does with its delete-file
+        # list for a data file)
+        grouped: dict[tuple[str, ...], list[str]] = {}
         for cols, delete_dir in specs:
-            df = df.join(
-                F.broadcast(spark.read.parquet(delete_dir)), cols, "left_anti"
-            )
+            grouped.setdefault(tuple(cols), []).append(delete_dir)
+        for cols, dirs in grouped.items():
+            keys = spark.read.parquet(*dirs)
+            df = df.join(F.broadcast(keys), list(cols), "left_anti")
         return df
 
     # -- snapshot history / time travel --------------------------------

@@ -848,3 +848,24 @@ class TestCatalogModelBased:
                 assert (m["cumulative_partition_counts"] or {}) == want_counts
 
         run()
+
+
+class TestManyDeletesOneJoin:
+    def test_multiple_delete_commits_fold_into_one_anti_join(self, spark, tmp_path):
+        """N delete snapshots on the same key columns cost a chain
+        element ONE broadcast anti-join (key files unioned), not N."""
+        cat = SnapshotCatalog(str(tmp_path / "manydel"))
+        cat.write(
+            spark.createDataFrame([(i,) for i in range(20)], "v int"), "t",
+        )
+        for batch in ([1, 2], [3], [4, 5]):
+            cat.delete_rows(
+                spark, "t", spark.createDataFrame([(v,) for v in batch], "v int"),
+                on=["v"],
+            )
+        df = cat.read(spark, "t")
+        assert df.count() == 15
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("BroadcastHashJoin LeftAnti") == 1
