@@ -131,6 +131,36 @@ def _footer_file_stats(data_dir: str, cols: list[str]) -> list[dict]:
     return out
 
 
+def _zorder_expr(cols_ranges: list[tuple[str, float, float]],
+                 bits_total: int = 64):
+    """Z-order (Morton) value over numeric columns: each column is scaled
+    into its share of ``bits_total`` bits using the GIVEN min/max range
+    (no data pass here), then the bits are interleaved — a single
+    codegen'd expression tree of shifts/ands/ors. Rows close in z are
+    close in EVERY dimension, so range-partitioning + sorting by z gives
+    files whose min/max stats are tight on every z column at once —
+    multi-column file pruning, where a linear sort only serves its
+    leading column."""
+    n = len(cols_ranges)
+    bits = max(1, bits_total // n)
+    top = float(2**bits - 1)
+    us = []
+    for c, mn, mx in cols_ranges:
+        span = float(mx) - float(mn)
+        if span <= 0:
+            us.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(top)
+        us.append(F.least(F.greatest(scaled, F.lit(0.0)), F.lit(top)).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, u in enumerate(us):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -1013,6 +1043,33 @@ class SnapshotCatalog:
 
     # -- snapshot expiry ---------------------------------------------
 
+    def _manifest_ranges(
+        self, table: str, snap: str, cols: list[str]
+    ) -> dict[str, tuple] | None:
+        """Global min/max per column across a chain, from manifest
+        file_stats alone (no data read). None when any file lacks a
+        recorded range for any requested column — callers then pay one
+        aggregate pass instead."""
+        lo: dict[str, object] = {c: None for c in cols}
+        hi: dict[str, object] = {c: None for c in cols}
+        for s in self._chain(table, snap):
+            sm = self.manifest(table, s) or {}
+            if sm.get("equality_delete_cols") or sm.get("row_count") == 0:
+                continue
+            fs = sm.get("file_stats")
+            if not fs:
+                return None
+            for e in fs:
+                for c in cols:
+                    rng = (e.get("stats") or {}).get(c)
+                    if rng is None:
+                        return None
+                    lo[c] = rng[0] if lo[c] is None else min(lo[c], rng[0])
+                    hi[c] = rng[1] if hi[c] is None else max(hi[c], rng[1])
+        if any(lo[c] is None for c in cols):
+            return None
+        return {c: (lo[c], hi[c]) for c in cols}
+
     def expire_snapshots(self, table: str, *, keep_last: int = 1) -> list[str]:
         """Delete snapshot directories that are neither among the newest
         ``keep_last`` committed snapshots, nor CURRENT, nor TAGGED, nor a
@@ -1050,6 +1107,7 @@ class SnapshotCatalog:
         *,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: list[str] | None = None,
+        zorder: list[str] | None = None,
         snap: str | None = None,
         force: bool = False,
     ) -> dict | None:
@@ -1079,6 +1137,16 @@ class SnapshotCatalog:
         Append chains are flattened: the rewrite reads the whole parent
         chain and commits a parent-less snapshot whose counts equal the
         chain's cumulative totals, so chain length resets to 1.
+
+        zorder: multi-column clustering (Iceberg ``rewrite_data_files``
+        sort-strategy zorder): rows are range-partitioned and sorted by a
+        Morton interleave of the listed NUMERIC columns, so every file's
+        min/max stats are tight on EVERY z column at once — point/range
+        filters on any of them prune files, where a linear ``cluster_by``
+        only serves its leading column. Column ranges come from the
+        source manifests' file_stats when recorded (no extra scan) and
+        from one min/max aggregate otherwise. Mutually exclusive with
+        cluster_by and with partitioned/bucketed layouts.
         """
         src = snap or self.current_snapshot(table)
         m = self.manifest(table, src)
@@ -1090,6 +1158,14 @@ class SnapshotCatalog:
             return None
         df = self.read(spark, table, src)
         key = m.get("partition_by")
+        if zorder:
+            if cluster_by:
+                raise ValueError("zorder and cluster_by are mutually exclusive")
+            if key or m.get("bucket_by"):
+                raise ValueError(
+                    "zorder rewrites the global row order; partitioned/"
+                    "bucketed layouts own their order already"
+                )
         # REBALANCE is AQE-only: size the post-shuffle partitions by
         # advisory bytes for the duration of this one write. (Shuffle
         # bytes ≠ encoded parquet bytes; like Iceberg's rewrite we accept
@@ -1103,6 +1179,7 @@ class SnapshotCatalog:
         src_stat_cols = sorted(
             {c for e in (m.get("file_stats") or []) for c in e.get("stats", {})}
             | set(cluster_by or [])
+            | set(zorder or [])
         )
         try:
             bucket_by = m.get("bucket_by")
@@ -1135,6 +1212,27 @@ class SnapshotCatalog:
                         if balanced is None
                         else balanced.unionByName(part, allowMissingColumns=True)
                     )
+            elif zorder:
+                ranges = self._manifest_ranges(table, src, zorder)
+                if ranges is None:
+                    # stats not recorded for some file: one min/max pass
+                    row = df.agg(
+                        *(F.min(c).alias(f"__mn{i}") for i, c in enumerate(zorder)),
+                        *(F.max(c).alias(f"__mx{i}") for i, c in enumerate(zorder)),
+                    ).collect()[0]
+                    ranges = {
+                        c: (row[f"__mn{i}"], row[f"__mx{i}"])
+                        for i, c in enumerate(zorder)
+                    }
+                z = _zorder_expr([(c, *ranges[c]) for c in zorder])
+                total_bytes = sum(f["bytes"] for f in files) or 1
+                nfiles = max(1, -(-total_bytes // target_file_bytes))
+                # range-partition by z (each task owns a z range → a file
+                # whose stats are tight in every z dimension), then sort
+                # within the task so row groups inherit the property
+                balanced = df.repartitionByRange(
+                    int(nfiles), z
+                ).sortWithinPartitions(z)
             else:
                 balanced = df.hint("rebalance", key) if key else df.hint("rebalance")
             manifest = self.write(
@@ -1146,6 +1244,7 @@ class SnapshotCatalog:
                     "source_snapshot": src,
                     "target_file_bytes": target_file_bytes,
                     "source_files": len(files),
+                    "zorder": zorder,
                 },
                 partition_by=key,
                 count_by=key,

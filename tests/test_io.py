@@ -869,3 +869,61 @@ class TestManyDeletesOneJoin:
             df._jdf.queryExecution(), "formatted"
         )
         assert plan.count("BroadcastHashJoin LeftAnti") == 1
+
+
+class TestZOrderCompaction:
+    """compact(zorder=[...]): Iceberg rewrite_data_files sort-strategy
+    zorder — after the rewrite, file min/max stats are tight on EVERY z
+    column, so plan_scan prunes on any of them; a linear sort only
+    serves its leading column."""
+
+    @pytest.fixture()
+    def zt(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "z"))
+        df = spark.range(0, 60_000, 1, 8).select(
+            (F.col("id") % 200).cast("int").alias("x"),
+            ((F.col("id") * 7919) % 200).cast("int").alias("y"),
+            F.col("id").alias("v"),
+        )
+        cat.write(df, "t", stats_by=["x", "y"])
+        tb = sum(f["bytes"] for f in cat.data_files("t"))
+        cm = cat.compact(spark, "t", target_file_bytes=max(1, tb // 8),
+                         zorder=["x", "y"], force=True)
+        return cat, df, cm
+
+    def test_prunes_on_every_z_column(self, zt):
+        cat, _, _ = zt
+        px = cat.plan_scan("t", [("x", "<=", 10)])[0]
+        py = cat.plan_scan("t", [("y", "<=", 10)])[0]
+        assert len(px["paths"]) < px["total_files"]
+        assert len(py["paths"]) < py["total_files"]
+
+    def test_rows_preserved_and_scans_exact(self, spark, zt):
+        cat, df, cm = zt
+        assert cm["row_count"] == 60_000
+        assert cat.read(spark, "t").count() == 60_000
+        assert (
+            cat.scan(spark, "t", [("x", "=", 7)]).count()
+            == df.where("x = 7").count()
+        )
+        assert (
+            cat.scan(spark, "t", [("y", ">=", 190)]).count()
+            == df.where("y >= 190").count()
+        )
+
+    def test_ranges_come_from_manifests(self, zt):
+        cat, _, _ = zt
+        # the source chain had full file_stats for x and y → no data pass
+        r = cat._manifest_ranges("t", cat.current_snapshot("t"), ["x", "y"])
+        assert r == {"x": (0, 199), "y": (0, 199)}
+
+    def test_zorder_validation(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "zv"))
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        cat.write(df, "t", partition_by="k", count_by="k")
+        with pytest.raises(ValueError, match="partitioned"):
+            cat.compact(spark, "t", zorder=["v"], force=True)
+        cat2 = SnapshotCatalog(str(tmp_path / "zv2"))
+        cat2.write(spark.createDataFrame([(1, 2)], "a int, b int"), "t")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cat2.compact(spark, "t", zorder=["a"], cluster_by=["b"], force=True)
