@@ -643,3 +643,39 @@ class TestPurgeDocs:
         m = pipe.run_increment(_shift_doc_ids(h1), "inc2")
         assert m["delta_rows"] == 0
         assert pipe.routed().count() == 97
+
+
+class TestPurgeQuarantineInterplay:
+    def test_purging_a_quarantined_doc_is_safe(self, spark, tmp_path_factory):
+        """Purging doc_ids that include a QUARANTINED row must remove it
+        from the routed table without corrupting the aggregates (the
+        quarantined row was never aggregated; its negative group falls
+        out of the merge)."""
+        from qsvspark.pipeline.northstar import QUARANTINE_SINK
+
+        wh = str(tmp_path_factory.mktemp("wh_pq"))
+        pipe = NorthStarPipeline(spark, wh, quarantine=True)
+        clean = synth_tokens(spark, 150, seed=51)
+        bad_id = "src99/part-0001/doc-000000000777"
+        bad = spark.createDataFrame(
+            [(bad_id, [1, 2], 2, "src99")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        pipe.run(clean.unionByName(bad), input_fingerprint="pq1")
+
+        victims = [r.doc_id for r in clean.limit(2).collect()] + [bad_id]
+        m = pipe.purge_docs(
+            spark.createDataFrame([(v,) for v in victims], "doc_id string"),
+            "pq-take",
+        )
+        assert m["deleted"] == 3
+        assert pipe.routed().count() == 148
+        assert (
+            pipe.routed().where(F.col("sink") == QUARANTINE_SINK).count() == 0
+        )
+        # aggregates: 150 clean were aggregated, 2 clean purged → 148;
+        # the quarantined doc never contributed
+        total = pipe.aggregates().agg(
+            F.sum("seq_count").alias("n")).collect()[0]["n"]
+        assert total == 148
+        assert pipe.aggregates().where(F.col("seq_count") <= 0).count() == 0
