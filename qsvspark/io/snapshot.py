@@ -202,7 +202,12 @@ class SnapshotCatalog:
         this per stage and skips stages whose fingerprint already landed."""
         for snap in reversed(self._snaps(table)):
             m = self.manifest(table, snap)
-            if m and m.get("committed") and m.get("input_fingerprint") == input_fingerprint:
+            if (
+                m
+                and m.get("committed")
+                and not m.get("staged")
+                and m.get("input_fingerprint") == input_fingerprint
+            ):
                 return snap
         return None
 
@@ -224,6 +229,7 @@ class SnapshotCatalog:
         bucket_by: list[str] | None = None,
         n_buckets: int = 0,
         replace_partitions: list[str] | None = None,
+        staged: bool = False,
     ) -> dict:
         """Write df as the next snapshot of ``table`` and commit a manifest.
 
@@ -275,6 +281,12 @@ class SnapshotCatalog:
         accounting (count_by == partition_by) on the chain. Pure
         metadata: no ancestor data is rewritten; time-travel reads of the
         parent still see the old partition.
+
+        staged: write-audit-publish (Iceberg WAP): the snapshot commits
+        fully — data + manifest — but CURRENT does not move and resume
+        (``find_committed``) ignores it, so production readers cannot see
+        it. Audit it by reading the snapshot id directly, then
+        ``publish()`` it (pure metadata) or leave it for expiry to judge.
         """
         t0 = time.time()
         if bucket_by and partition_by:
@@ -405,13 +417,36 @@ class SnapshotCatalog:
             "lineage": lineage or {},
             "cluster_by": cluster_by,
             "file_stats": file_stats,
+            "staged": staged,
             "metrics": {"write_seconds": round(time.time() - t0, 3)},
         }
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
+        if not staged:
+            with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
+                f.write(snap)
+        return manifest
+
+    def publish(self, table: str, snap: str) -> dict:
+        """Promote a STAGED snapshot (Iceberg WAP publish / cherry-pick):
+        clear the staged flag and point CURRENT at it. Pure metadata —
+        the data committed at staging time. Idempotent on an
+        already-published snapshot."""
+        snap = self._resolve_ref(table, snap)
+        m = self.manifest(table, snap)
+        if m is None or not m.get("committed"):
+            raise FileNotFoundError(
+                f"cannot publish: no committed snapshot '{snap}' in '{table}'"
+            )
+        if m.get("staged"):
+            m["staged"] = False
+            with open(
+                os.path.join(self._table_dir(table), snap, "manifest.json"), "w"
+            ) as f:
+                json.dump(m, f, indent=2)
         with open(os.path.join(self._table_dir(table), "CURRENT"), "w") as f:
             f.write(snap)
-        return manifest
+        return m
 
     def delete_rows(
         self,
@@ -1090,6 +1125,11 @@ class SnapshotCatalog:
         if cur is not None:
             roots.add(cur)
         roots.update(self.tags(table).values())
+        # staged (unpublished WAP) snapshots are pending audits — retained
+        roots.update(
+            s for s in committed
+            if (self.manifest(table, s) or {}).get("staged")
+        )
         for r in roots:
             retained.update(self._chain(table, r))
         deleted = []

@@ -927,3 +927,46 @@ class TestZOrderCompaction:
         cat2.write(spark.createDataFrame([(1, 2)], "a int, b int"), "t")
         with pytest.raises(ValueError, match="mutually exclusive"):
             cat2.compact(spark, "t", zorder=["a"], cluster_by=["b"], force=True)
+
+
+class TestWriteAuditPublish:
+    """Staged writes (Iceberg WAP): a snapshot commits fully but CURRENT
+    doesn't move and resume ignores it until publish()."""
+
+    def test_staged_invisible_until_published(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "wap"))
+        m1 = cat.write(spark.createDataFrame([(1,)], "v int"), "t",
+                       input_fingerprint="base")
+        ms = cat.write(spark.createDataFrame([(2,)], "v int"), "t",
+                       input_fingerprint="audit-me", parent=m1["snapshot"],
+                       staged=True)
+        # production readers see only the published snapshot
+        assert cat.current_snapshot("t") == m1["snapshot"]
+        assert cat.read(spark, "t").count() == 1
+        # the audit reads the staged snapshot directly (full chain)
+        assert cat.read(spark, "t", ms["snapshot"]).count() == 2
+        # resume must NOT land on an unpublished snapshot
+        assert cat.find_committed("t", "audit-me") is None
+
+        pm = cat.publish("t", ms["snapshot"])
+        assert pm["staged"] is False
+        assert cat.current_snapshot("t") == ms["snapshot"]
+        assert cat.read(spark, "t").count() == 2
+        assert cat.find_committed("t", "audit-me") == ms["snapshot"]
+
+    def test_expire_retains_pending_audits(self, spark, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "wap_exp"))
+        cat.write(spark.createDataFrame([(1,)], "v int"), "t",
+                  input_fingerprint="a")
+        staged = cat.write(spark.createDataFrame([(9,)], "v int"), "t",
+                           input_fingerprint="s", staged=True)
+        cat.write(spark.createDataFrame([(2,)], "v int"), "t",
+                  input_fingerprint="b")
+        deleted = cat.expire_snapshots("t", keep_last=1)
+        assert staged["snapshot"] not in deleted
+        assert cat.read(spark, "t", staged["snapshot"]).count() == 1
+
+    def test_publish_requires_committed_snapshot(self, tmp_path):
+        cat = SnapshotCatalog(str(tmp_path / "wap_err"))
+        with pytest.raises(FileNotFoundError):
+            cat.publish("t", "snap-00001")
