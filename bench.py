@@ -246,13 +246,23 @@ PHASE_ATTEMPTS = int(os.environ.get("QSVSPARK_BENCH_PHASE_ATTEMPTS", "4"))
 
 def _pair_probe(p_lo: int, p_hi: int) -> dict | None:
     """One memcpy-bandwidth measurement at both primary-pair levels →
-    {lo_gbps, hi_gbps, hw_eff}."""
+    {lo_gbps, hi_gbps, hw_eff, plausible}.
+
+    plausible=False marks a reading the scheduler ruined rather than the
+    memory bus: a 1-proc memcpy that reports < 1 GB/s was CPU-STARVED
+    (descheduled by co-tenants — this host measures ~20 GB/s idle), and a
+    pair efficiency > 1.15 is physically impossible for memcpy scaling
+    (observed: a starved lo probe of 0.07 GB/s yielding 'eff 133').
+    Consumers treat implausible probes as degraded-phase evidence, never
+    as a clean bracket — otherwise one starved probe mislabels a noisy
+    phase as clean and poisons the recorded scaling artifact."""
     bw_lo, bw_hi = _bandwidth_probe(p_lo), _bandwidth_probe(p_hi)
     if not (bw_lo and bw_hi):
         return None
+    eff = round((bw_hi / bw_lo) / (p_hi / p_lo), 3)
     return {
-        "lo_gbps": bw_lo, "hi_gbps": bw_hi,
-        "hw_eff": round((bw_hi / bw_lo) / (p_hi / p_lo), 3),
+        "lo_gbps": bw_lo, "hi_gbps": bw_hi, "hw_eff": eff,
+        "plausible": bw_lo >= 1.0 and eff <= 1.15,
     }
 
 
@@ -268,7 +278,7 @@ def _wait_clean_phase(p_lo: int, p_hi: int, deadline: float) -> list[dict]:
             return history
         probe["unix"] = int(time.time())
         history.append(probe)
-        if probe["hw_eff"] >= CLEAN_HW_EFF:
+        if probe["hw_eff"] >= CLEAN_HW_EFF and probe.get("plausible", True):
             break
         # don't spend more than ~1/4 of the scaling budget waiting
         if attempt == PHASE_ATTEMPTS - 1 or time.time() + PHASE_WAIT_S > deadline:
@@ -417,19 +427,26 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
         out["bandwidth_gbps"] = {
             f"procs_{p_lo}": start["lo_gbps"], f"procs_{p_hi}": start["hi_gbps"],
             "hw_pair_efficiency": start["hw_eff"],
+            "probe_plausible": start.get("plausible", True),
         }
         _log(f"[bench] memcpy bandwidth at pair start: {p_lo} proc "
              f"{start['lo_gbps']} GB/s, {p_hi} proc {start['hi_gbps']} GB/s "
              f"(hw pair eff {start['hw_eff']})")
     entries: list[dict] = []  # every primary-level run + bracketing probes
-    last_probe = probe_hist[-1]["hw_eff"] if probe_hist else None
+    last_probe = (
+        probe_hist[-1]["hw_eff"]
+        if probe_hist and probe_hist[-1].get("plausible", True)
+        else None
+    )
 
     def _probe_between() -> float | None:
         p = _pair_probe(p_lo, p_hi)
         if p:
             p["unix"] = int(time.time())
             out["probe_history"].append(p)
-            return p["hw_eff"]
+            # a starved/implausible probe is degraded-phase evidence, not
+            # a usable bracket value
+            return p["hw_eff"] if p.get("plausible", True) else None
         return None
 
     ratios = []
@@ -515,7 +532,7 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
         if p is not None:
             p["unix"] = int(time.time())
             out["probe_history"].append(p)
-        if p is None or p["hw_eff"] < CLEAN_HW_EFF:
+        if p is None or p["hw_eff"] < CLEAN_HW_EFF or not p.get("plausible", True):
             hunt_round += 1
             _log(f"[bench] clean-pair hunt: phase still degraded "
                  f"(hw eff {p['hw_eff'] if p else '?'}); waiting {PHASE_WAIT_S}s "
