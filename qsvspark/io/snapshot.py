@@ -132,7 +132,7 @@ def _footer_file_stats(data_dir: str, cols: list[str]) -> list[dict]:
 
 
 def _zorder_expr(cols_ranges: list[tuple[str, float, float]],
-                 bits_total: int = 64):
+                 bits_total: int = 63):
     """Z-order (Morton) value over numeric columns: each column is scaled
     into its share of ``bits_total`` bits using the GIVEN min/max range
     (no data pass here), then the bits are interleaved — a single
@@ -140,9 +140,19 @@ def _zorder_expr(cols_ranges: list[tuple[str, float, float]],
     close in EVERY dimension, so range-partitioning + sorting by z gives
     files whose min/max stats are tight on every z column at once —
     multi-column file pruning, where a linear sort only serves its
-    leading column."""
+    leading column.
+
+    bits_total defaults to 63 (not 64) so the highest interleaved bit
+    position is ≤62 and z stays non-negative — position 63 is the long
+    sign bit, and a sign flip would sort the upper half of the last
+    column's range BEFORE everything else, splitting the curve. Per-column
+    bits are additionally capped at 52 so ``top`` is exactly representable
+    as a double (the scaling arithmetic is double-precision); without the
+    cap a single-column call would compute top = 2^63-1, which rounds to
+    2^63 as a double and saturates the long cast, collapsing the top of
+    the range to one z value."""
     n = len(cols_ranges)
-    bits = max(1, bits_total // n)
+    bits = max(1, min(bits_total // n, 52))
     top = float(2**bits - 1)
     us = []
     for c, mn, mx in cols_ranges:
@@ -159,6 +169,27 @@ def _zorder_expr(cols_ranges: list[tuple[str, float, float]],
                 F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), i * n + j)
             )
     return z
+
+
+# Delete-key sets are broadcast to every task while they are small (the
+# common takedown case: a key file of doc ids), but takedowns accumulate
+# without bound; past this many bytes of at-rest parquet the reader falls
+# back to a shuffled anti-join rather than risk executor/driver memory on
+# an ever-growing broadcast. (Iceberg bounds delete application per data
+# file via its manifests; this is the emulation-layer equivalent bound.)
+_DELETE_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _dir_bytes(*dirs: str) -> int:
+    """Total bytes of parquet data under the given directories — file
+    sizes only, no reads; used to size-gate broadcasts."""
+    total = 0
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+    return total
 
 
 class SnapshotCatalog:
@@ -431,12 +462,29 @@ class SnapshotCatalog:
         """Promote a STAGED snapshot (Iceberg WAP publish / cherry-pick):
         clear the staged flag and point CURRENT at it. Pure metadata —
         the data committed at staging time. Idempotent on an
-        already-published snapshot."""
+        already-published snapshot.
+
+        Publishing verifies the table's CURRENT snapshot is an ancestor
+        of (or equal to) the staged one. Iceberg's WAP publish is a
+        cherry-pick onto the latest state, never a rollback: if other
+        snapshots committed after staging, blindly moving CURRENT would
+        hide them from readers, and the next write (parent = CURRENT)
+        would fork the chain and permanently orphan them. In that case
+        this raises; the caller must either ``rollback`` explicitly or
+        re-stage the audit on top of the new head."""
         snap = self._resolve_ref(table, snap)
         m = self.manifest(table, snap)
         if m is None or not m.get("committed"):
             raise FileNotFoundError(
                 f"cannot publish: no committed snapshot '{snap}' in '{table}'"
+            )
+        cur = self.current_snapshot(table)
+        if cur is not None and cur != snap and cur not in self._chain(table, snap):
+            raise ValueError(
+                f"cannot publish '{snap}': table '{table}' advanced to '{cur}' "
+                f"after staging (not an ancestor of the staged snapshot). "
+                f"Publishing would hide '{cur}' and fork the chain — rollback "
+                f"explicitly or re-stage on top of the new head."
             )
         if m.get("staged"):
             m["staged"] = False
@@ -487,10 +535,32 @@ class SnapshotCatalog:
         if parent is None:
             raise FileNotFoundError(f"no committed snapshot for table '{table}'")
         pm = self.manifest(table, parent)
-        # exact accounting scan: only the key + partition columns are read
         part_key = pm.get("partition_by")
+
+        # Materialize the key file FIRST, then account from the re-read:
+        # if the caller's keys DataFrame is non-deterministic (sampling,
+        # limit, shuffle-order-dependent), evaluating it once for
+        # accounting and again for the write would commit a different key
+        # set than the one counted, breaking the exact-accounting
+        # invariant. Counting from the parquet we just wrote makes the
+        # committed keys and the recorded counts provably the same set.
+        # A crash after this write but before the manifest leaves an
+        # uncommitted snap dir (no manifest) — same crash-safety story as
+        # every other write path.
+        snaps = self._snaps(table)
+        snap = f"snap-{len(snaps) + 1:05d}"
+        snap_dir = os.path.join(self._table_dir(table), snap)
+        delete_dir = os.path.join(snap_dir, "deletes")
+        keys.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
+            delete_dir
+        )
+        committed_keys = spark.read.parquet(delete_dir)
+        if _dir_bytes(delete_dir) <= _DELETE_BROADCAST_MAX_BYTES:
+            committed_keys = F.broadcast(committed_keys)
+
+        # exact accounting scan: only the key + partition columns are read
         doomed = self.read(spark, table, parent).join(
-            F.broadcast(keys.select(*on).distinct()), on, "left_semi"
+            committed_keys, on, "left_semi"
         )
         if part_key:
             per_part_deleted = {
@@ -503,14 +573,6 @@ class SnapshotCatalog:
         else:
             per_part_deleted = None
             deleted_total = doomed.count()
-
-        snaps = self._snaps(table)
-        snap = f"snap-{len(snaps) + 1:05d}"
-        snap_dir = os.path.join(self._table_dir(table), snap)
-        delete_dir = os.path.join(snap_dir, "deletes")
-        keys.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
-            delete_dir
-        )
 
         cum_total = pm.get("cumulative_row_count", pm["row_count"]) - deleted_total
         pc = pm.get("cumulative_partition_counts") or pm.get("partition_counts")
@@ -585,7 +647,14 @@ class SnapshotCatalog:
             grouped.setdefault(tuple(cols), []).append(delete_dir)
         for cols, dirs in grouped.items():
             keys = spark.read.parquet(*dirs)
-            df = df.join(F.broadcast(keys), list(cols), "left_anti")
+            # broadcast preserves the child's (bucketed) partitioning, so
+            # it's the default — but the accumulated key union grows with
+            # every takedown, so past the size bound fall back to a plain
+            # anti-join (one shuffle) rather than blow executor memory on
+            # an unbounded broadcast.
+            if _dir_bytes(*dirs) <= _DELETE_BROADCAST_MAX_BYTES:
+                keys = F.broadcast(keys)
+            df = df.join(keys, list(cols), "left_anti")
         return df
 
     # -- snapshot history / time travel --------------------------------

@@ -665,6 +665,58 @@ class TestEqualityDelete:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_nondeterministic_keys_account_exactly(self, spark, tmp_path):
+        """Exact-accounting invariant under a NON-DETERMINISTIC keys
+        DataFrame: whatever key set the write materialized, the recorded
+        deleted_row_count must describe exactly that set — the key file
+        is written first and the accounting joins against the re-read,
+        so a keys plan that picks different rows per evaluation (rand()
+        filter here) can never skew the manifest."""
+        cat = SnapshotCatalog(str(tmp_path / "nd"))
+        base = spark.range(0, 1000).select(F.col("id").cast("int").alias("v"))
+        cat.write(base, "t")
+        keys = base.where(F.rand(seed=None) < 0.5).select("v")
+        dm = cat.delete_rows(spark, "t", keys, on=["v"])
+        committed = spark.read.parquet(
+            str(tmp_path / "nd" / "t" / dm["snapshot"] / "deletes")
+        )
+        n_committed = committed.count()
+        assert dm["deleted_row_count"] == n_committed
+        assert cat.read(spark, "t").count() == 1000 - n_committed
+        assert dm["cumulative_row_count"] == 1000 - n_committed
+
+    def test_large_delete_set_falls_back_to_shuffle_anti(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past the broadcast size bound, delete application drops the
+        FORCED broadcast hint — Spark's own size-based planner takes
+        over (which would refuse to broadcast a genuinely huge set);
+        results are identical. autoBroadcastJoinThreshold is disabled
+        here so the un-hinted plan is observable as a shuffle join."""
+        from qsvspark.io import snapshot as snapshot_mod
+
+        cat = SnapshotCatalog(str(tmp_path / "big"))
+        base = spark.range(0, 200).select(F.col("id").cast("int").alias("v"))
+        cat.write(base, "t")
+        monkeypatch.setattr(snapshot_mod, "_DELETE_BROADCAST_MAX_BYTES", 0)
+        cat.delete_rows(
+            spark, "t",
+            spark.createDataFrame([(i,) for i in range(50)], "v int"),
+            on=["v"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = cat.read(spark, "t")
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            )
+            assert "BroadcastHashJoin LeftAnti" not in plan
+            assert df.count() == 150
+            assert sorted(r.v for r in df.collect()) == list(range(50, 200))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 
 class TestTags:
     """Named snapshot references (Iceberg tags): immutable name → snapshot
@@ -917,6 +969,23 @@ class TestZOrderCompaction:
         r = cat._manifest_ranges("t", cat.current_snapshot("t"), ["x", "y"])
         assert r == {"x": (0, 199), "y": (0, 199)}
 
+    def test_z_values_stay_in_long_range(self, spark):
+        """The interleave must never touch the long sign bit (a negative
+        z would sort the top of the last column's range before
+        everything else), and a single-column z must not collapse the
+        top of the range through double→long overflow."""
+        from qsvspark.io.snapshot import _zorder_expr
+
+        df = spark.range(0, 200).select(
+            F.col("id").cast("int").alias("x"),
+            (F.lit(199) - F.col("id")).cast("int").alias("y"),
+        )
+        z2 = df.select(_zorder_expr([("x", 0, 199), ("y", 0, 199)]).alias("z"))
+        assert z2.where("z < 0").count() == 0
+        z1 = df.select(_zorder_expr([("x", 0, 199)]).alias("z"))
+        assert z1.where("z < 0").count() == 0
+        assert z1.distinct().count() == 200  # no upper-range collapse
+
     def test_zorder_validation(self, spark, tmp_path):
         cat = SnapshotCatalog(str(tmp_path / "zv"))
         df = spark.createDataFrame([("a", 1)], "k string, v int")
@@ -970,3 +1039,23 @@ class TestWriteAuditPublish:
         cat = SnapshotCatalog(str(tmp_path / "wap_err"))
         with pytest.raises(FileNotFoundError):
             cat.publish("t", "snap-00001")
+
+    def test_publish_rejects_stale_staged_snapshot(self, spark, tmp_path):
+        """WAP publish is a cherry-pick onto the latest state, not a
+        rollback: if the table advanced after staging, publishing the
+        stale audit would hide the newer commit and fork the chain —
+        it must raise instead."""
+        cat = SnapshotCatalog(str(tmp_path / "wap_stale"))
+        m1 = cat.write(spark.createDataFrame([(1,)], "v int"), "t",
+                       input_fingerprint="base")
+        staged = cat.write(spark.createDataFrame([(2,)], "v int"), "t",
+                           input_fingerprint="audit", parent=m1["snapshot"],
+                           staged=True)
+        # a concurrent producer commits on top of m1 while the audit runs
+        m3 = cat.write(spark.createDataFrame([(3,)], "v int"), "t",
+                       input_fingerprint="concurrent", parent=m1["snapshot"])
+        with pytest.raises(ValueError, match="advanced"):
+            cat.publish("t", staged["snapshot"])
+        # nothing moved: readers still see the concurrent commit
+        assert cat.current_snapshot("t") == m3["snapshot"]
+        assert cat.read(spark, "t").count() == 2
