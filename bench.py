@@ -93,6 +93,21 @@ EXTENSIONS = [
     "similarity_topk", "similarity_ivf", "multimodal_features",
 ]
 
+# skew stress: salted vs unsalted on a deliberately hot key (50% of rows
+# on one source). Row count sized so the aggregate/join dominates noise.
+SKIP_SKEW = os.environ.get("QSVSPARK_BENCH_SKIP_SKEW", "") == "1"
+SKEW_ROWS = int(os.environ.get("QSVSPARK_BENCH_SKEW_ROWS", "16000000"))
+
+# sf1 decade-of-scale section: pipeline + increment at 10× the standard
+# scaling rows, plus a headline-query subset over 10×-replicated
+# lineitem/orders (= TPC-H sf1 row counts). One direct decade of evidence
+# that per-row rates stay flat (manifest JSON, footer enumeration, and
+# IVF sampling caps are all exercised at the larger size).
+SKIP_SF1 = os.environ.get("QSVSPARK_BENCH_SKIP_SF1", "") == "1"
+SF1_ROWS = int(os.environ.get("QSVSPARK_BENCH_SF1_ROWS", "40000000"))
+SF1_QUERIES = ["select", "isin_numeric", "uniq", "count", "pivot", "stats"]
+SF1_COPIES = 10
+
 
 def _fast_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -654,6 +669,229 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     return out
 
 
+def _noop_time(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def _run_skew(spark) -> dict:
+    """Salted vs unsalted on a hot-key distribution (50% of rows on one
+    source, and for the aggregate also one (sink, source, bucket) group).
+
+    Two measurements, reported honestly:
+      agg  — aggregate_stage vs aggregate_stage_salted. Catalyst's
+             count_distinct expand shuffles on (group, doc_id) and
+             partial aggregation collapses the second exchange, so the
+             aggregate is skew-NEUTRAL by plan — salting neither helps
+             nor hurts; the section records that plan fact rather than
+             manufacturing a win.
+      join — a sort-merge enrich join with broadcast disabled (the
+             dim-outgrew-broadcast regime at 10^12 rows): the hot key
+             lands on one reducer, and salted_join spreads it. This is
+             where the north rule's salted-repartition requirement has
+             teeth; measured ~3× on this box.
+    Identical results are asserted for both pairs (collected — outputs
+    are aggregate-sized).
+    """
+    from pyspark.sql import functions as F
+    from qsvspark.pipeline.northstar import (
+        aggregate_stage, aggregate_stage_salted, salted_join,
+    )
+
+    base = _fast_dir()
+    d = tempfile.mkdtemp(prefix="bench_skew_", dir=base)
+    out: dict = {"rows": SKEW_ROWS, "hot_fraction": 0.5}
+    try:
+        df = spark.range(0, SKEW_ROWS, numPartitions=64)
+        rid = F.col("id")
+        u = F.pmod(F.xxhash64(rid, F.lit(7)), F.lit(1000)) / 1000.0
+        hotmask = u < 0.5
+        source = F.when(hotmask, F.lit("src-00")).otherwise(
+            F.format_string(
+                "src-%02d", F.pmod(F.xxhash64(rid, F.lit(8)), F.lit(19)) + 1
+            )
+        )
+        n_tok = F.when(hotmask, F.lit(64)).otherwise(
+            F.lit(16) + F.pmod(F.xxhash64(rid, F.lit(9)), F.lit(497))
+        ).cast("int")
+        sink = F.when(hotmask, F.lit("sink-0")).otherwise(
+            F.format_string("sink-%d", F.pmod(F.xxhash64(rid, F.lit(10)), F.lit(4)))
+        )
+        fact_path = os.path.join(d, "fact")
+        df.select(
+            F.format_string("doc-%012d", rid).alias("doc_id"),
+            n_tok.alias("n_tok"), source.alias("source"), sink.alias("sink"),
+        ).write.mode("overwrite").parquet(fact_path)
+        dim_path = os.path.join(d, "dim")
+        spark.range(0, 20).select(
+            F.format_string("src-%02d", F.col("id")).alias("source"),
+            F.sha2(F.col("id").cast("string"), 256).alias("dim_payload"),
+        ).write.mode("overwrite").parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        fact.limit(1000).groupBy("sink").count().collect()  # warm
+
+        # aggregate pair: best of 2 reps each, interleaved
+        agg_t = {"unsalted": [], "salted": []}
+        for _ in range(2):
+            agg_t["unsalted"].append(_noop_time(aggregate_stage(fact)))
+            agg_t["salted"].append(_noop_time(aggregate_stage_salted(fact)))
+        a = sorted(map(tuple, aggregate_stage(fact).collect()))
+        b = sorted(map(tuple, aggregate_stage_salted(fact).collect()))
+        out["agg"] = {
+            "unsalted_sec": min(agg_t["unsalted"]),
+            "salted_sec": min(agg_t["salted"]),
+            "speedup": round(min(agg_t["unsalted"]) / min(agg_t["salted"]), 2),
+            "results_match": a == b,
+            "skew_neutral_by_plan": True,
+            "note": ("count_distinct expand shuffles on (group keys, doc_id) "
+                     "and partial agg collapses the second exchange — the hot "
+                     "group is already spread; salting is a no-op BY PLAN"),
+        }
+
+        # join pair: broadcast disabled = the dim-too-big regime
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def plain():
+                return fact.join(dim, "source").groupBy("source").agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.length("dim_payload")).alias("s"),
+                )
+
+            def salted():
+                return salted_join(
+                    fact, dim, "source", salt_buckets=32, salt_from=["doc_id"]
+                ).groupBy("source").agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.length("dim_payload")).alias("s"),
+                )
+
+            join_t = {"plain": [], "salted": []}
+            for _ in range(2):
+                join_t["plain"].append(_noop_time(plain()))
+                join_t["salted"].append(_noop_time(salted()))
+            ja = sorted(map(tuple, plain().collect()))
+            jb = sorted(map(tuple, salted().collect()))
+            out["join"] = {
+                "plain_smj_sec": min(join_t["plain"]),
+                "salted_sec": min(join_t["salted"]),
+                "speedup": round(min(join_t["plain"]) / min(join_t["salted"]), 2),
+                "results_match": ja == jb,
+                "dim_rows": 20,
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _run_sf1(spark, queries: dict, sf01_steady: dict) -> dict:
+    """One decade of direct scale evidence: the pipeline + an increment at
+    SF1_ROWS (10× the standard bench pipeline), and a headline-query
+    subset over 10×-replicated lineitem/orders (TPC-H sf1 row counts,
+    built deterministically by unioning key-shifted copies of the sf0.1
+    parquet). Reports per-row rate ratios vs the same-run sf0.1 steady
+    timings — flat constants show as ratios ≈ 1."""
+    from pyspark.sql import functions as F
+    from qsvspark.pipeline import NorthStarPipeline
+    from qsvspark.pipeline.tokens import synth_tokens
+
+    base = _fast_dir()
+    d = tempfile.mkdtemp(prefix="bench_sf1_", dir=base)
+    out: dict = {"rows_tokens": SF1_ROWS, "table_copies": SF1_COPIES}
+    try:
+        # -- pipeline at 10× ------------------------------------------
+        input_path = os.path.join(d, "tokens")
+        _materialize_input(spark, SF1_ROWS, input_path)
+        wh = os.path.join(d, "wh")
+        pipe = NorthStarPipeline(spark, wh)
+        tokens = spark.read.parquet(input_path)
+        t0 = time.time()
+        pipe.run(tokens, input_fingerprint=f"bench-sf1-{SF1_ROWS}")
+        wall = round(time.time() - t0, 3)
+        out["pipeline"] = {
+            "seconds": wall,
+            "sequences_per_sec": round(SF1_ROWS / wall, 1),
+        }
+        inc_rows = SF1_ROWS // 10
+        day2 = synth_tokens(spark, inc_rows, id_offset=SF1_ROWS)
+        t0 = time.time()
+        im = pipe.run_increment(day2, f"bench-sf1-inc-{inc_rows}")
+        wall = round(time.time() - t0, 3)
+        out["increment"] = {
+            "delta_rows": im["delta_rows"],
+            "seconds": wall,
+            "sequences_per_sec": round(im["delta_rows"] / wall, 1),
+        }
+        shutil.rmtree(os.path.join(d, "tokens"), ignore_errors=True)
+
+        # -- headline subset over 10× tables --------------------------
+        for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+            src = spark.read.parquet(os.path.join(SF_DIR, f"{tbl}.parquet"))
+            shift = src.agg(F.max(key)).first()[0] + 1
+            parts = [
+                src.withColumn(key, F.col(key) + F.lit(i * shift))
+                for i in range(SF1_COPIES)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            big.write.mode("overwrite").parquet(os.path.join(d, f"{tbl}.parquet"))
+        q_cold, q_steady, ratios = {}, {}, {}
+        for name in SF1_QUERIES:
+            df = queries[name](spark, d)
+            q_cold[name] = _noop_time(df)
+            q_steady[name] = _noop_time(df)
+            base_s = sf01_steady.get(name)
+            if base_s and base_s > 0:
+                ratios[name] = round((q_steady[name] / SF1_COPIES) / base_s, 2)
+        out["queries"] = q_cold
+        out["queries_steady"] = q_steady
+        # per-row rate at sf1 / per-row rate at sf0.1 (steady); ≈1 = flat
+        out["per_row_rate_ratio"] = ratios
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _emit_artifacts(
+    summary: dict, detail: dict, detail_path: str, max_line: int = 2800
+) -> str:
+    """Stamp BOTH artifacts with one shared run id and write the detail
+    file atomically (tmp + rename), so BENCH_r*.json and
+    BENCH_DETAIL.json can never describe different executions (round-3's
+    committed detail file was from an earlier run than its summary).
+    Returns the bounded summary line to print."""
+    run_id = (summary.get("run_id") or detail.get("run_id")
+              or f"run-{int(time.time())}-{os.getpid()}")
+    summary["run_id"] = run_id
+    detail["run_id"] = run_id
+    tmp = detail_path + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(detail, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, detail_path)
+    except OSError as e:  # noqa: PERF203 — the summary line must still print
+        summary.setdefault("errors_count", 0)
+        summary["detail_write_error"] = repr(e)[:200]
+    # belt-and-braces: never outgrow the driver's tail-capture window.
+    # Drop order keeps the round-4 evidence sections (sf1, skew,
+    # extensions_steady) over the per-query cold timings, which the
+    # detail file always carries.
+    line = json.dumps(summary)
+    for drop in ("queries", "extensions", "extensions_steady", "skew", "sf1"):
+        if len(line) <= max_line:
+            break
+        summary.pop(drop, None)
+        line = json.dumps(summary)
+    return line
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
@@ -698,6 +936,14 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
         _log(f"[bench] warmup skipped: {e!r}")
+    # 1-proc memcpy probes bracketing each timed section: a cold shot
+    # that lands in a host-degraded phase (neighbors saturating the
+    # memory bus — this box measures ~20 GB/s idle, observed dips to
+    # 4 GB/s) is attributable from the artifact alone, not only from
+    # BASELINE.md prose (round-3 extension regressions were exactly this
+    # ambiguity).
+    section_probes: dict[str, float | None] = {}
+    section_probes["before_headline_gbps"] = _bandwidth_probe(1)
     steady: dict[str, float] = {}
     for name in HEADLINE:
         try:
@@ -720,17 +966,27 @@ def main() -> None:
              f"(steady {steady.get(name, '-')})")
     total = round(sum(timings.values()), 3)
     total_steady = round(sum(steady.values()), 3) if steady else None
+    section_probes["between_gbps"] = _bandwidth_probe(1)
 
     ext_timings: dict[str, float] = {}
+    ext_steady: dict[str, float] = {}
     for name in EXTENSIONS:
         try:
             df = qs[name](spark, SF_DIR)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             ext_timings[name] = round(time.time() - t0, 3)
+            # steady rep, same rationale as the headline: fixed per-query
+            # costs are irrelevant at 100 TB; the cold shot stays for
+            # cross-round comparability (round-3's extension "regressions"
+            # were unbracketed cold shots in a degraded host phase)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            ext_steady[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             query_errors[name] = repr(e)[:300]
-        _log(f"[bench] extension {name}: {ext_timings.get(name, 'ERROR')}")
+        _log(f"[bench] extension {name}: {ext_timings.get(name, 'ERROR')} "
+             f"(steady {ext_steady.get(name, '-')})")
     # minhash_pairs above runs the md5-60 hash family (slow by design —
     # it exists so DuckDB can replicate every value); this is the
     # PRODUCTION family (native xxhash64, same plan shape)
@@ -742,10 +998,24 @@ def main() -> None:
         t0 = time.time()
         fast.write.format("noop").mode("overwrite").save()
         ext_timings["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fast.write.format("noop").mode("overwrite").save()
+        ext_steady["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         query_errors["minhash_pairs_xxhash"] = repr(e)[:300]
     _log(f"[bench] extension minhash_pairs_xxhash: "
          f"{ext_timings.get('minhash_pairs_xxhash', 'ERROR')}")
+    section_probes["after_extensions_gbps"] = _bandwidth_probe(1)
+
+    skew: dict | None = None
+    if not SKIP_SKEW:
+        try:
+            _log(f"[bench] skew section ({SKEW_ROWS} rows, 50% hot)")
+            skew = _run_skew(spark)
+            _log(f"[bench] skew: agg {skew['agg']['speedup']}x, "
+                 f"join {skew['join']['speedup']}x salted speedup")
+        except Exception as e:  # noqa: BLE001
+            query_errors["__skew__"] = repr(e)[:300]
 
     # materialize the pipeline inputs ONCE (untimed setup — the north-rule
     # job reads an existing table; generation is not part of the pipeline)
@@ -755,6 +1025,7 @@ def main() -> None:
     wh = tempfile.mkdtemp(prefix="bench_pipe_", dir=base)
     pipeline: dict | None = None
     scaling: dict | None = None
+    sf1: dict | None = None
     try:
         _materialize_input(spark, SCALE_ROWS, input_path)
 
@@ -789,6 +1060,17 @@ def main() -> None:
             "sequences_per_sec": round(im["delta_rows"] / inc_wall, 1),
             "cumulative_rows": im["rows"],
         }
+
+        if not SKIP_SF1:
+            try:
+                _log(f"[bench] sf1 section ({SF1_ROWS} pipeline rows, "
+                     f"{SF1_COPIES}x tables)")
+                sf1 = _run_sf1(spark, qs, steady)
+                _log(f"[bench] sf1 pipeline "
+                     f"{sf1['pipeline']['sequences_per_sec']} seq/s, "
+                     f"rate ratios {sf1.get('per_row_rate_ratio')}")
+            except Exception as e:  # noqa: BLE001
+                query_errors["__sf1__"] = repr(e)[:500]
         spark.stop()
 
         if not SKIP_SCALING:
@@ -811,18 +1093,17 @@ def main() -> None:
         "queries": timings,
         "queries_steady": steady,
         "extensions": ext_timings,
+        "extensions_steady": ext_steady,
+        "section_probes": section_probes,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "pipeline": pipeline,
+        "skew": skew,
+        "sf1": sf1,
         "scaling": scaling,
     }
     if query_errors:
         detail["errors"] = query_errors
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=2)
-    except OSError as e:  # noqa: PERF203 — the summary line must still print
-        query_errors["__detail_file__"] = repr(e)[:200]
 
     scaling_summary = None
     if scaling:
@@ -845,6 +1126,32 @@ def main() -> None:
             pipeline_summary["increment_seq_per_sec"] = (
                 pipeline["increment"]["sequences_per_sec"]
             )
+    skew_summary = None
+    if skew:
+        skew_summary = {
+            "rows": skew["rows"],
+            "agg_salted_speedup": skew.get("agg", {}).get("speedup"),
+            "agg_skew_neutral_by_plan": skew.get("agg", {}).get(
+                "skew_neutral_by_plan"
+            ),
+            "join_salted_speedup": skew.get("join", {}).get("speedup"),
+            "results_match": (
+                skew.get("agg", {}).get("results_match")
+                and skew.get("join", {}).get("results_match")
+            ),
+        }
+    sf1_summary = None
+    if sf1:
+        sf1_summary = {
+            "rows_tokens": sf1["rows_tokens"],
+            "pipeline_seq_per_sec": sf1.get("pipeline", {}).get(
+                "sequences_per_sec"
+            ),
+            "increment_seq_per_sec": sf1.get("increment", {}).get(
+                "sequences_per_sec"
+            ),
+            "per_row_rate_ratio": sf1.get("per_row_rate_ratio"),
+        }
     summary = {
         "metric": detail["metric"],
         "value": total,
@@ -852,17 +1159,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extensions": ext_timings,
+        "extensions_steady": ext_steady,
+        "section_probes": section_probes,
         "sf": detail["sf"],
         "pipeline": pipeline_summary,
+        "skew": skew_summary,
+        "sf1": sf1_summary,
         "scaling": scaling_summary,
         "errors_count": len(query_errors),
         "detail_file": "BENCH_DETAIL.json",
     }
-    line = json.dumps(summary)
-    if len(line) > 2800:  # belt-and-braces: never outgrow the tail window
-        summary.pop("extensions", None)
-        line = json.dumps(summary)
-    print(line)
+    print(_emit_artifacts(summary, detail, detail_path))
 
 
 if __name__ == "__main__":

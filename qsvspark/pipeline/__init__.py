@@ -5,7 +5,9 @@ from qsvspark.pipeline.tokens import source_dim, synth_tokens
 from qsvspark.pipeline.northstar import (
     QUARANTINE_SINK,
     NorthStarPipeline,
+    enrich_stage_salted,
     quarantine_stage,
+    salted_join,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "NorthStarPipeline",
     "quarantine_stage",
     "QUARANTINE_SINK",
+    "salted_join",
+    "enrich_stage_salted",
 ]

@@ -94,6 +94,84 @@ class TestEnrichRouteAggregate:
         assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+class TestSaltedJoin:
+    """salted_join: the enrich fallback when the dimension outgrows
+    broadcast and the join key is skewed — deterministic salt on the big
+    side, dim exploded per salt, joined on (key, salt)."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 50% of rows on one key — the heavy-hitter distribution
+        df = spark.range(0, 4000).select(
+            F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("src-00"))
+            .otherwise(F.format_string("src-%02d", F.col("id") % 17 + 1))
+            .alias("source"),
+        )
+        dim = spark.range(0, 17).select(
+            F.format_string("src-%02d", F.col("id")).alias("source"),
+            F.col("id").alias("weight"),
+        )
+        return df.cache(), dim
+
+    def test_inner_equals_plain(self, spark, skewed):
+        from qsvspark.pipeline import salted_join
+
+        big, dim = skewed
+        plain = sorted(map(tuple, big.join(dim, "source").collect()))
+        salted = sorted(
+            map(tuple, salted_join(big, dim, "source", salt_buckets=8).collect())
+        )
+        assert plain == salted
+
+    def test_left_keeps_unmatched_rows(self, spark, skewed):
+        from qsvspark.pipeline import salted_join
+
+        big, dim = skewed
+        # src-17 (id%17==16 → src-17) has no dim row → null weight survives
+        plain = sorted(
+            map(tuple, big.join(dim, "source", "left").collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(big, dim, "source", how="left", salt_buckets=8).collect(),
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert plain == salted
+
+    def test_dim_duplicating_joins_rejected(self, spark, skewed):
+        from qsvspark.pipeline import salted_join
+
+        big, dim = skewed
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(big, dim, "source", how=how)
+
+    def test_enrich_salted_equals_broadcast(self, spark, tokens):
+        from qsvspark.pipeline import enrich_stage_salted
+        from qsvspark.pipeline.tokens import source_dim
+
+        dim = source_dim(spark)
+        a = sorted(map(tuple, enrich_stage(tokens, dim).collect()))
+        b = sorted(map(tuple, enrich_stage_salted(tokens, dim, 8).collect()))
+        assert a == b
+
+    def test_salt_is_deterministic_expression(self, spark, skewed):
+        """The salt must not be rand(): a nondeterministic shuffle key
+        corrupts results under stage retry. Two evaluations of the same
+        plan must salt identically."""
+        from qsvspark.pipeline import salted_join
+
+        big, dim = skewed
+        out = salted_join(big, dim, "source", salt_buckets=8)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
+        # and the expression tree carries no nondeterministic node
+        assert "rand" not in out._jdf.queryExecution().analyzed().toString().lower()
+
+
 class TestPipelineEndToEnd:
     @pytest.fixture(scope="class")
     def run(self, spark, tokens, tmp_path_factory):
