@@ -225,6 +225,28 @@ class SnapshotCatalog:
         with open(mpath) as f:
             return json.load(f)
 
+    def file_stats(self, table: str, snap: str | None = None) -> list[dict] | None:
+        """Load a snapshot's per-file column-stats sidecar (the
+        manifest-file level of Iceberg's two-level metadata). Returns None
+        when the snapshot recorded no stats (no stats_by/cluster_by).
+        Reads back legacy manifests that inlined ``file_stats``."""
+        snap = self._resolve_ref(table, snap) or self.current_snapshot(table)
+        if snap is None:
+            return None
+        m = self.manifest(table, snap)
+        if m is None:
+            return None
+        if m.get("file_stats") is not None:
+            return m["file_stats"]
+        rel = m.get("file_stats_file")
+        if not rel:
+            return None
+        path = os.path.join(self._table_dir(table), snap, rel)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     # -- resume -----------------------------------------------------
 
     def find_committed(self, table: str, input_fingerprint: str) -> str | None:
@@ -447,10 +469,21 @@ class SnapshotCatalog:
             "input_fingerprint": input_fingerprint,
             "lineage": lineage or {},
             "cluster_by": cluster_by,
-            "file_stats": file_stats,
+            # Per-file column stats live in a SIDECAR (Iceberg's
+            # manifest-list pattern: the snapshot record points at
+            # manifest files; it never inlines per-file entries). The
+            # manifest itself stays O(1) in file count, so history(),
+            # find_committed(), read() and chain walks never parse an
+            # O(files) blob — only scan planning loads the sidecar.
+            "file_stats_file": "file_stats.json" if file_stats is not None else None,
+            "file_count": len(file_stats) if file_stats is not None else None,
+            "stats_columns": stat_cols or None,
             "staged": staged,
             "metrics": {"write_seconds": round(time.time() - t0, 3)},
         }
+        if file_stats is not None:
+            with open(os.path.join(snap_dir, "file_stats.json"), "w") as f:
+                json.dump(file_stats, f)
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
         if not staged:
@@ -1060,7 +1093,7 @@ class SnapshotCatalog:
                 continue  # keys-only or empty delta: no data files
             data_dir = os.path.join(self._table_dir(table), s, "data")
             mask = masks.get(s) or set()
-            fs = m.get("file_stats")
+            fs = self.file_stats(table, s)
             if fs is None:
                 if mask and m.get("partition_by"):
                     # no column stats, but partition replacement still
@@ -1160,7 +1193,7 @@ class SnapshotCatalog:
             sm = self.manifest(table, s) or {}
             if sm.get("equality_delete_cols") or sm.get("row_count") == 0:
                 continue
-            fs = sm.get("file_stats")
+            fs = self.file_stats(table, s)
             if not fs:
                 return None
             for e in fs:
@@ -1284,9 +1317,17 @@ class SnapshotCatalog:
         old = conf.get(advisory_key, None)
         conf.set(advisory_key, str(target_file_bytes))
         # a compacted copy must stay as prunable as its source: carry the
-        # source's stats column set (recoverable from its file_stats keys)
+        # source's stats column set (recorded in the manifest; legacy
+        # manifests recover it from the sidecar's stats keys)
         src_stat_cols = sorted(
-            {c for e in (m.get("file_stats") or []) for c in e.get("stats", {})}
+            set(
+                m.get("stats_columns")
+                or {
+                    c
+                    for e in (self.file_stats(table, m["snapshot"]) or [])
+                    for c in e.get("stats", {})
+                }
+            )
             | set(cluster_by or [])
             | set(zorder or [])
         )

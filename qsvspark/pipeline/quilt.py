@@ -11,6 +11,15 @@ more than one later stage is ``.cache()``d so its subplan runs once — the
 reference re-executes the shared lazy subplan per consumer. Join supports
 ``cross`` properly (the reference documents it but silently falls back to
 inner, quilt.rs:544-552) plus Spark's free ``semi``/``anti``.
+
+Beyond the reference, the table-maintenance surface is also expressible
+as stage types, so one YAML DAG covers the whole engine (ingest AND
+upkeep): ``snapshot`` (read a SnapshotCatalog table/tag into the DAG),
+``compact`` (rewrite_data_files, optional zorder), ``tag`` (pin a named
+ref), ``rollback`` (repoint CURRENT), ``delete`` (merge-on-read equality
+delete whose keys come from an earlier stage). Maintenance stages yield
+the post-operation table read, so later process stages consume the
+maintained data like any other source.
 """
 
 from __future__ import annotations
@@ -196,6 +205,8 @@ class Quilt:
                     df = left.crossJoin(right)
                 else:
                     df = left.join(right, on=key, how=how)
+            elif stype in ("snapshot", "compact", "tag", "rollback", "delete"):
+                df = self._maintenance_stage(stype, scfg or {}, base_dir)
             else:
                 raise InvalidArgumentError(f"unknown stage type '{stype}'")
             if consumers.get(name, 0) > 1:
@@ -212,6 +223,66 @@ class Quilt:
         for df in cached:
             df.unpersist()
         return last
+
+    def _maintenance_stage(self, stype: str, scfg: dict,
+                           base_dir: str) -> DataFrame:
+        """SnapshotCatalog operations as DAG stages. Each needs
+        ``catalog`` (warehouse root, YAML-relative) and ``table``;
+        knobs go under ``params``. The stage result is the table read
+        AFTER the operation (for ``tag``: the tagged snapshot), so the
+        DAG stays one IR — maintenance output feeds process stages."""
+        from qsvspark.io import SnapshotCatalog
+
+        root = scfg.get("catalog")
+        table = scfg.get("table")
+        if not root or not table:
+            raise InvalidArgumentError(
+                f"{stype} stage needs 'catalog' (warehouse root) and 'table'")
+        if not os.path.isabs(root):
+            root = os.path.join(base_dir, root)
+        cat = SnapshotCatalog(root)
+        params = scfg.get("params") or {}
+        if stype == "snapshot":
+            return cat.read(self.spark, table, snap=params.get("snap"))
+        if stype == "compact":
+            cat.compact(
+                self.spark, table,
+                target_file_bytes=int(params.get("target_file_mb", 128)) << 20,
+                cluster_by=params.get("cluster_by"),
+                zorder=params.get("zorder"),
+                force=bool(params.get("force")),
+            )  # None (already compact) still reads back fine below
+            return cat.read(self.spark, table)
+        if stype == "tag":
+            name = params.get("name")
+            if not name:
+                raise InvalidArgumentError("tag stage needs params.name")
+            cat.tag(table, name, params.get("snap"))
+            return cat.read(self.spark, table, snap=name)
+        if stype == "rollback":
+            snap = params.get("snap")
+            if not snap:
+                raise InvalidArgumentError(
+                    "rollback stage needs params.snap (snapshot id or tag)")
+            cat.rollback(table, snap)  # resolves tag names itself
+            return cat.read(self.spark, table)
+        # delete: equality-delete keys come from an earlier stage
+        src = scfg.get("source")
+        keys = self.stage_results.get(src or "")
+        if keys is None:
+            raise InvalidArgumentError(
+                "delete stage needs 'source' (an earlier stage providing "
+                "the key rows)")
+        # YAML 1.1 resolves a bare `on:` key to boolean True — accept it
+        on = params.get("on") or params.get(True) or params.get("keys")
+        if not on:
+            raise InvalidArgumentError(
+                "delete stage needs params.on (key column list)")
+        cat.delete_rows(
+            self.spark, table, keys.select(*on), on=list(on),
+            input_fingerprint=str(params.get("fingerprint", "")),
+        )
+        return cat.read(self.spark, table)
 
     def _sources_of(self, scfg: dict | None) -> list[str]:
         scfg = scfg or {}

@@ -331,8 +331,13 @@ class TestManifestStatsScan:
         return cat
 
     def test_manifest_records_file_stats(self, ranged):
-        fs = ranged.manifest("t")["file_stats"]
+        fs = ranged.file_stats("t")
         assert fs and all("id" in e["stats"] for e in fs)
+        # the manifest itself stays O(1): stats live in the sidecar
+        m = ranged.manifest("t")
+        assert m.get("file_stats") is None
+        assert m["file_stats_file"] == "file_stats.json"
+        assert m["file_count"] == len(fs)
         lo = min(e["stats"]["id"][0] for e in fs)
         hi = max(e["stats"]["id"][1] for e in fs)
         assert (lo, hi) == (0, 3999)
@@ -420,10 +425,61 @@ class TestExpireSnapshots:
         cat.write(df.repartition(8), "t", input_fingerprint="fp",
                   stats_by=["id"])
         m2 = cat.compact(spark, "t", target_file_bytes=1 << 20, force=True)
-        assert m2["file_stats"] and all(
-            "id" in e["stats"] for e in m2["file_stats"])
+        fs2 = cat.file_stats("t", m2["snapshot"])
+        assert fs2 and all("id" in e["stats"] for e in fs2)
         got = cat.scan(spark, "t", [("id", "=", 42)])
         assert got.count() == 1
+
+
+class TestManifestGrowthBound:
+    """Catalog metadata must stay cheap as per-snapshot file counts grow
+    (Iceberg bounds this with the manifest-list pattern; the emulation
+    mirrors it with the file_stats sidecar). 5k files is ~50× the normal
+    test scale — manifest parse, scan planning, and read-plan
+    construction must all stay interactive, and manifest.json itself must
+    stay O(1) bytes regardless of file count."""
+
+    @pytest.fixture(scope="class")
+    def big5k(self, spark, tmp_path_factory):
+        cat = SnapshotCatalog(str(tmp_path_factory.mktemp("wh5k")))
+        # 5000 single-row source slices -> exactly 5000 files, no shuffle
+        df = spark.range(0, 5000, 1, numPartitions=5000).select(F.col("id"))
+        cat.write(df, "t", input_fingerprint="fp5k", stats_by=["id"])
+        return cat
+
+    def test_manifest_stays_o1_and_sidecar_carries_stats(self, big5k):
+        import time as _t
+
+        t0 = _t.time()
+        m = big5k.manifest("t")
+        assert _t.time() - t0 < 0.5
+        assert m["row_count"] == 5000
+        assert m["file_count"] == 5000
+        mpath = os.path.join(
+            big5k.root, "t", m["snapshot"], "manifest.json"
+        )
+        assert os.path.getsize(mpath) < 64 * 1024  # O(1) in file count
+        fs = big5k.file_stats("t")
+        assert len(fs) == 5000
+
+    def test_plan_scan_sub_second_and_prunes(self, big5k):
+        import time as _t
+
+        t0 = _t.time()
+        plan = big5k.plan_scan("t", [("id", "=", 42)])
+        assert _t.time() - t0 < 1.0
+        (entry,) = plan
+        assert entry["total_files"] == 5000
+        # one row per file with exact min/max -> exactly one file admitted
+        assert len(entry["paths"]) == 1
+
+    def test_read_plan_construction_bounded(self, spark, big5k):
+        import time as _t
+
+        t0 = _t.time()
+        df = big5k.read(spark, "t")
+        assert _t.time() - t0 < 5.0  # 5k-file listing + schema, no data read
+        assert df.count() == 5000
 
 
 class TestHistoryRollback:

@@ -207,3 +207,116 @@ stages:
 
         for name, df in q.stage_results.items():
             assert df.storageLevel == StorageLevel.NONE, name
+
+
+class TestQuiltMaintenanceStages:
+    """Table maintenance as DAG stages: one YAML covers ingest AND upkeep
+    (snapshot read, compact, tag, rollback, equality delete)."""
+
+    @pytest.fixture()
+    def warehouse(self, spark, tmp_path):
+        """A catalog with a fragmented 2-snapshot chain: t = 0..199."""
+        from pyspark.sql import functions as F
+
+        from qsvspark.io import SnapshotCatalog
+
+        cat = SnapshotCatalog(str(tmp_path / "wh"))
+        base = spark.range(100).select(F.col("id"))
+        m1 = cat.write(base.repartition(8), "t", input_fingerprint="base",
+                       stats_by=["id"])
+        delta = spark.range(100, 200).select(F.col("id"))
+        cat.write(delta.repartition(8), "t", input_fingerprint="delta",
+                  stats_by=["id"], parent=m1["snapshot"])
+        return cat, tmp_path
+
+    def test_snapshot_compact_tag_chain(self, spark, warehouse):
+        cat, d = warehouse
+        files_before = len(cat.data_files("t"))
+        p = write_yaml(d, """
+stages:
+  maintained:
+    type: compact
+    catalog: wh
+    table: t
+    params:
+      target_file_mb: 64
+  pinned:
+    type: tag
+    catalog: wh
+    table: t
+    params:
+      name: prod
+  top:
+    type: process
+    source: pinned
+    steps:
+      sort:
+        colnames: id
+        desc: true
+      head: 3
+""")
+        out = Quilt(spark).run_file(p)
+        assert [r[0] for r in out.collect()] == [199, 198, 197]
+        assert len(cat.data_files("t")) < files_before  # compact ran
+        assert "prod" in cat.tags("t")  # tag pinned post-compact state
+
+    def test_snapshot_read_and_rollback(self, spark, warehouse):
+        cat, d = warehouse
+        first = cat.history("t")[0]["snapshot"]
+        p = write_yaml(d, f"""
+stages:
+  old:
+    type: snapshot
+    catalog: wh
+    table: t
+    params:
+      snap: {first}
+  back:
+    type: rollback
+    catalog: wh
+    table: t
+    params:
+      snap: {first}
+""")
+        out = Quilt(spark).run_file(p)
+        assert out.count() == 100  # rollback result = first snapshot
+        assert cat.current_snapshot("t") == first
+
+    def test_delete_stage_takes_keys_from_source(self, spark, warehouse):
+        cat, d = warehouse
+        p = write_yaml(d, """
+stages:
+  doomed:
+    type: snapshot
+    catalog: wh
+    table: t
+  keys:
+    type: process
+    source: doomed
+    steps:
+      isin:
+        colname: id
+        values: [7, 42, 150]
+  takedown:
+    type: delete
+    source: keys
+    catalog: wh
+    table: t
+    params:
+      on: [id]  # bare `on` is YAML-1.1 boolean True; the stage accepts both
+      fingerprint: rm-3
+""")
+        out = Quilt(spark).run_file(p)
+        assert out.count() == 197
+        assert out.where("id in (7, 42, 150)").count() == 0
+
+    def test_maintenance_stage_missing_args_error(self, spark, warehouse):
+        _, d = warehouse
+        p = write_yaml(d, """
+stages:
+  bad:
+    type: compact
+    table: t
+""")
+        with pytest.raises(InvalidArgumentError, match="catalog"):
+            Quilt(spark).run_file(p)
