@@ -336,6 +336,67 @@ def q_lang_id(spark, sf):
     return add_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
 
 
+def q_seq_pack(spark, sf):
+    # GPT-style concat-and-chunk sequence packing over documents (word
+    # count as token count, 256-token sequences). The Spark side is a
+    # distributed prefix sum (bucketed window — NO single-partition
+    # Window.orderBy); the oracle is the equivalent global window cumsum.
+    from qsvspark.functions import pack_chunked
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    out = pack_chunked(docs, "n_tok", "doc_id", seq_len=256, n_buckets=16)
+    return out.select(
+        "doc_id", "n_tok", "global_offset", "first_seq", "last_seq", "spans_boundary"
+    )
+
+
+def q_contamination(spark, sf):
+    # benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    # held-out eval set; candidates matching any word 3-gram are flagged
+    # with their distinct-match count. Broadcast membership probe.
+    from qsvspark.functions import contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(cand, bench, n=3).select("doc_id", "n_matched")
+
+
+def q_pii_scrub(spark, sf):
+    # native-regex PII redaction. The fixture docs carry no PII, so the
+    # query synthesizes a deterministic PII-bearing prefix (email, IPv4,
+    # SSN, phone) from doc fields and scrubs it — both engines build and
+    # scrub the identical string, verified byte-for-byte by the hash.
+    from qsvspark.functions import scrub_pii
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("_"), d.cast("string"),
+        F.lit("@example.com ip 10.0."), (d % 256).cast("string"),
+        F.lit("."), F.pmod(d * 7, F.lit(256)).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-123-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"),
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id", scrub_pii(raw).alias("scrubbed")
+    )
+
+
+def q_text_repetition(spark, sf):
+    # Gopher-style repetition signals; mode counts computed row-locally
+    # as longest-equal-run over the sorted array (no corpus shuffle).
+    from qsvspark.functions import add_repetition_signals
+
+    return add_repetition_signals(_t(spark, sf, "documents")).select(
+        "doc_id", "total_words", "distinct_words",
+        "top_word_count", "top_bigram_count",
+    )
+
+
 def q_dedup_exact(spark, sf):
     from qsvspark.functions import dedup_exact
 
@@ -798,19 +859,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeround": q_timeround,
         "changetz": q_changetz,
         "convert": q_convert,
-        "convert_xml": q_convert_xml,
-        "timeline_avg": q_timeline_avg,
-        "pivot_median": q_pivot_median,
-        "pivot_std": q_pivot_std,
-        # sed_all retired from the 50-slot driver budget (sed covers the
-        # operator; all-columns variant stays pytest-verified) in favor
-        # of pipeline_quarantine
+        # r4 retirements from the 50-slot driver budget (each operator's
+        # base entry stays green; the variants remain pytest-verified):
+        # convert_xml, timeline_avg, pivot_median, pivot_std made room
+        # for seq_pack / contamination / pii_scrub / text_repetition.
+        # sed_all was retired in r3 in favor of pipeline_quarantine.
         "pipeline_quarantine": q_pipeline_quarantine,
         "isin_empty": q_isin_empty,
         "join": q_join,
         "join_left": q_join_left,
         "concat": q_concat,
         "stats": q_stats,
+        "seq_pack": q_seq_pack,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
+        "text_repetition": q_text_repetition,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -924,22 +987,69 @@ def oracle_sql() -> dict[str, str]:
             " CAST(props::JSON->>'k' AS VARCHAR) || chr(10) || '}' AS props"
             " FROM events"
         ),
-        "convert_xml": (
-            "SELECT event_id, '<k>' || (props::JSON->>'k') || '</k>' AS props"
-            " FROM events"
+        # (r4) convert_xml / timeline_avg / pivot_median / pivot_std
+        # oracles retired with their registry slots — see queries().
+        "seq_pack": (
+            "WITH t AS (SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),"
+            " c AS (SELECT doc_id, n_tok,"
+            " CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            " AS global_offset FROM t)"
+            " SELECT doc_id, n_tok, global_offset,"
+            " CAST(global_offset // 256 AS BIGINT) AS first_seq,"
+            " CAST((global_offset + greatest(n_tok, 1) - 1) // 256 AS BIGINT)"
+            " AS last_seq,"
+            " CAST((global_offset + greatest(n_tok, 1) - 1) // 256"
+            " > global_offset // 256 AS INT) AS spans_boundary"
+            " FROM c"
         ),
-        "timeline_avg": (
-            "SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')"
-            ' AS timeline_6h, COUNT(*) AS "count",'
-            " round(avg(value), 4) AS avg_r FROM events GROUP BY 1"
+        "contamination": (
+            "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+            " FROM documents),"
+            " bench AS (SELECT DISTINCT unnest(list_transform("
+            " generate_series(1, len(ws) - 2),"
+            " i -> array_to_string(ws[i:i+2], ' '))) AS g"
+            " FROM w WHERE doc_id % 97 = 0),"
+            " cand AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            " generate_series(1, len(ws) - 2),"
+            " i -> array_to_string(ws[i:i+2], ' '))) AS g"
+            " FROM w WHERE doc_id % 97 <> 0)"
+            " SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_matched"
+            " FROM cand JOIN bench USING (g) GROUP BY cand.doc_id"
         ),
-        "pivot_median": (
-            "SELECT l_returnflag, l_linestatus, round(median(l_quantity), 4) AS qty_med"
-            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        "pii_scrub": (
+            "WITH raw AS (SELECT doc_id,"
+            " 'contact ' || source || '_' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+            " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+            " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+            " || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+            " || ' ' || text AS s FROM documents)"
+            " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            " regexp_replace(s,"
+            r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+            r" '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),"
+            " '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),"
+            r" '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')"
+            " AS scrubbed FROM raw"
         ),
-        "pivot_std": (
-            "SELECT l_returnflag, l_linestatus, round(stddev_samp(l_quantity), 4)"
-            " AS qty_std FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        "text_repetition": (
+            "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+            " FROM documents),"
+            " wc AS (SELECT doc_id, t, count(*) AS c"
+            " FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),"
+            " wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_words,"
+            " CAST(count(*) AS BIGINT) AS distinct_words,"
+            " CAST(max(c) AS BIGINT) AS top_word_count FROM wc GROUP BY 1),"
+            " bc AS (SELECT doc_id, g, count(*) AS c FROM"
+            " (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),"
+            " i -> array_to_string(ws[i:i+1], ' '))) AS g FROM w) GROUP BY 1, 2),"
+            " ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count"
+            " FROM bc GROUP BY 1)"
+            " SELECT wa.doc_id, total_words, distinct_words, top_word_count,"
+            " coalesce(ba.top_bigram_count, 0) AS top_bigram_count"
+            " FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id"
         ),
         "pipeline_quarantine": (
             r"WITH base AS (SELECT doc_id AS rid, source FROM documents),"

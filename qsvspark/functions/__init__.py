@@ -7,7 +7,16 @@ from qsvspark.functions.text import (
     add_fingerprint,
     add_lang_id,
     add_quality,
+    add_repetition_signals,
     add_token_counts,
+    contamination,
+    scrub_pii,
+    word_ngrams,
+)
+from qsvspark.functions.packing import (
+    pack_chunked,
+    pack_greedy,
+    pack_stats,
 )
 from qsvspark.functions.dedup import (
     dedup_exact,
@@ -32,4 +41,6 @@ __all__ = [
     "embedding_near_dups", "embedding_near_dups_lsh",
     "brute_force_topk", "lsh_ann_topk", "AnnIndex",
     "ivf_topk", "train_ivf_centroids", "IvfIndex",
+    "add_repetition_signals", "contamination", "scrub_pii", "word_ngrams",
+    "pack_chunked", "pack_greedy", "pack_stats",
 ]

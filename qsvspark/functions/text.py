@@ -91,3 +91,126 @@ def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     oracle can verify it byte-for-byte)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# round 4: decontamination, PII scrubbing, repetition signals
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int, lower: bool = True) -> Column:
+    """Word n-grams as an array<string> column — the unit of benchmark
+    decontamination. Pure codegen: split + sequence/transform/slice,
+    no Python, no explode until the caller decides to."""
+    words = _ws_tokens(F.lower(col) if lower else col)
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by exact word-n-gram overlap (the
+    GPT-3/Llama recipe, usually n=13; tests use n=3 to suit the short
+    fixture docs): a candidate document is contaminated if any of its
+    n-grams appears in the benchmark set.
+
+    Returns one row per contaminated doc: ``(id_col, n_matched)`` where
+    n_matched counts DISTINCT matching n-grams.
+
+    Scale shape: the benchmark n-gram set is the small side by
+    construction (eval suites are fixed-size while the corpus grows),
+    so the membership probe is a BROADCAST semi-structured join —
+    corpus n-grams never shuffle for the join; the only exchange is the
+    per-doc count aggregate, map-side combined.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+
+
+# PII patterns written in the portable Java-regex/RE2 intersection so the
+# same literal string drives both Spark's regexp_replace and the DuckDB
+# oracle. Order matters: SSN before phone-like digit runs, email before
+# bare domains.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4s, SSNs, and phone numbers with typed tags.
+    A chain of native regexp_replace calls — stays inside whole-stage
+    codegen; at 100 TB this is the difference between a scan-speed
+    scrub and a Python bottleneck."""
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document, all
+    integers (hash-stable across engines):
+
+    * ``total_words`` / ``distinct_words`` — dup-word fraction inputs,
+    * ``top_word_count`` — occurrences of the most frequent word,
+    * ``top_bigram_count`` — occurrences of the most frequent bigram.
+
+    The mode count is computed WITHOUT a shuffle: sort the word array,
+    then the mode's frequency is the longest run of equal adjacent
+    elements — a single F.aggregate fold with (prev, run, best) state.
+    The per-doc explode+groupBy alternative costs a full-corpus
+    shuffle keyed on (doc, word); this stays row-local codegen."""
+    words = _ws_tokens(F.lower(F.col(text_col)))
+    bigrams = word_ngrams(F.col(text_col), 2)
+
+    def max_run(arr: Column) -> Column:
+        srt = F.array_sort(arr)
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(srt, zero, step, lambda acc: acc["best"])
+
+    return df.withColumns(
+        {
+            "total_words": F.size(words).cast("long"),
+            "distinct_words": F.size(F.array_distinct(words)).cast("long"),
+            "top_word_count": max_run(words),
+            "top_bigram_count": max_run(bigrams),
+        }
+    )
