@@ -19,7 +19,9 @@ upkeep): ``snapshot`` (read a SnapshotCatalog table/tag into the DAG),
 ref), ``rollback`` (repoint CURRENT), ``delete`` (merge-on-read equality
 delete whose keys come from an earlier stage). Maintenance stages yield
 the post-operation table read, so later process stages consume the
-maintained data like any other source.
+maintained data like any other source. ``pack`` (r4) lays an earlier
+stage's (id, n_tok) rows out as fixed-length training sequences —
+chunked or greedy mode, see qsvspark.functions.packing.
 """
 
 from __future__ import annotations
@@ -207,6 +209,35 @@ class Quilt:
                     df = left.join(right, on=key, how=how)
             elif stype in ("snapshot", "compact", "tag", "rollback", "delete"):
                 df = self._maintenance_stage(stype, scfg or {}, base_dir)
+            elif stype == "pack":
+                # sequence packing as a DAG stage: chunked (default) or
+                # greedy mode over an earlier stage's (id, n_tok) columns
+                from qsvspark.functions.packing import pack_chunked, pack_greedy
+
+                src = (scfg or {}).get("source") or ""
+                if src not in self.stage_results:
+                    raise InvalidArgumentError(
+                        "pack stage needs 'source' (an earlier stage)")
+                params = scfg.get("params") or {}
+                seq_len = int(params.get("seq_len", 2048))
+                n_tok = params.get("n_tok_col", "n_tok")
+                idc = params.get("id_col") or params.get("order_col") or "doc_id"
+                mode = params.get("mode", "chunked")
+                base = self.stage_results[src]
+                if mode == "chunked":
+                    df = pack_chunked(
+                        base, n_tok, idc, seq_len,
+                        n_buckets=params.get("n_buckets"),
+                        bucket_col=params.get("bucket_col"),
+                    )
+                elif mode == "greedy":
+                    df = pack_greedy(
+                        base, n_tok, idc, seq_len,
+                        num_partitions=params.get("num_partitions"),
+                    )
+                else:
+                    raise InvalidArgumentError(
+                        f"pack mode '{mode}' not supported (chunked|greedy)")
             else:
                 raise InvalidArgumentError(f"unknown stage type '{stype}'")
             if consumers.get(name, 0) > 1:

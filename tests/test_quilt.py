@@ -320,3 +320,52 @@ stages:
 """)
         with pytest.raises(InvalidArgumentError, match="catalog"):
             Quilt(spark).run_file(p)
+
+
+class TestPackStage:
+    def test_pack_stage_chunked(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Pack
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  packed:
+    type: pack
+    source: a
+    params: {seq_len: 4, n_tok_col: col1, order_col: col2, n_buckets: 2}
+""")
+        rows = {r["col2"]: r for r in Quilt(spark).run_file(p).collect()}
+        # simple.csv: col1 = 1,4,7 (token counts), ordered by col2 = 2,5,8
+        assert rows[2]["global_offset"] == 0 and rows[2]["first_seq"] == 0
+        assert rows[5]["global_offset"] == 1 and rows[5]["last_seq"] == 1
+        assert rows[8]["global_offset"] == 5 and rows[8]["spans_boundary"] == 1
+
+    def test_pack_stage_greedy(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: PackGreedy
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  packed:
+    type: pack
+    source: a
+    params: {seq_len: 8, n_tok_col: col1, id_col: col2, mode: greedy,
+             num_partitions: 1}
+""")
+        out = Quilt(spark).run_file(p).collect()
+        assert sorted(r["col2"] for r in out) == [2, 5, 8]
+        assert all(r["oversized"] == 0 for r in out)
+
+    def test_pack_stage_needs_source(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+stages:
+  bad:
+    type: pack
+    params: {seq_len: 4}
+""")
+        with pytest.raises(InvalidArgumentError, match="source"):
+            Quilt(spark).run_file(p)
