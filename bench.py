@@ -91,6 +91,8 @@ HEADLINE = [
 EXTENSIONS = [
     "dedup_exact", "minhash_pairs", "simhash", "text_quality", "lang_id",
     "similarity_topk", "similarity_ivf", "multimodal_features",
+    # r4 token-pipeline ops
+    "seq_pack", "contamination", "pii_scrub", "text_repetition",
 ]
 
 # skew stress: salted vs unsalted on a deliberately hot key (50% of rows
