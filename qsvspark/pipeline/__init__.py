@@ -5,9 +5,11 @@ from qsvspark.pipeline.tokens import source_dim, synth_tokens
 from qsvspark.pipeline.northstar import (
     QUARANTINE_SINK,
     NorthStarPipeline,
+    decontaminate_stage,
     enrich_stage_salted,
     quarantine_stage,
     salted_join,
+    token_ngram_hashes,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "QUARANTINE_SINK",
     "salted_join",
     "enrich_stage_salted",
+    "decontaminate_stage",
+    "token_ngram_hashes",
 ]

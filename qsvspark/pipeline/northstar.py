@@ -257,6 +257,69 @@ def quarantine_stage(df: DataFrame) -> DataFrame:
     )
 
 
+def token_ngram_hashes(tokens: F.Column | str, n: int) -> F.Column:
+    """xxhash64 of every length-n token window, as array<long> — the
+    membership unit for token-level decontamination. Pure codegen:
+    sequence/transform/slice + xxhash64 over the slice; no Python, no
+    explode (callers choose whether to explode or probe in place)."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(c) < n, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(c, i, n)),
+        )
+    )
+
+
+def decontaminate_stage(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    max_bench_grams: int = 4_000_000,
+) -> DataFrame:
+    """Drop token sequences that share any exact token n-gram with a
+    held-out benchmark set — the token-level analogue of
+    functions/text.py:contamination, for the pipeline's pre-tokenized
+    rows (GPT-3 appendix-C style decontamination, n=8 tokens here vs
+    13 words there).
+
+    Scale shape: eval benchmarks are fixed-size while the corpus grows,
+    so the benchmark's distinct gram-hash set is collected into ONE
+    array row and broadcast; each corpus row then evaluates a local
+    ``arrays_overlap`` against it. That makes decontamination a MAP-ONLY
+    filter — zero shuffles of corpus data, no join, scan-speed at any
+    corpus size. arrays_overlap builds a hash set over the larger side
+    per evaluation, so the probe is O(doc grams + bench grams) not a
+    product.
+
+    ``max_bench_grams`` bounds the driver collect (8 bytes/gram → 32 MB
+    at the default); a benchmark set beyond it raises rather than
+    silently degrading — callers can shard the benchmark and chain
+    stages, keeping each broadcast bounded.
+    """
+    grams = token_ngram_hashes(tokens_col, n)
+    bench_grams = (
+        benchmark.select(F.explode(token_ngram_hashes(tokens_col, n)).alias("g"))
+        .distinct()
+    )
+    cnt = bench_grams.count()
+    if cnt > max_bench_grams:
+        raise ValueError(
+            f"benchmark has {cnt} distinct {n}-gram hashes "
+            f"(> max_bench_grams={max_bench_grams}); shard the benchmark "
+            "and chain decontaminate stages"
+        )
+    bench_arr = bench_grams.agg(F.collect_set("g").alias("__bench_grams"))
+    return (
+        df.crossJoin(F.broadcast(bench_arr))
+        .where(~F.arrays_overlap(grams, F.col("__bench_grams")))
+        .drop("__bench_grams")
+    )
+
+
 def dedup_key(df: DataFrame) -> DataFrame:
     """Append the exact-dedup content key: two INDEPENDENT xxhash64 lanes
     over (n_tok, tokens). 16 bytes stand in for the whole token array as

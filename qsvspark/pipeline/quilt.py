@@ -209,6 +209,22 @@ class Quilt:
                     df = left.join(right, on=key, how=how)
             elif stype in ("snapshot", "compact", "tag", "rollback", "delete"):
                 df = self._maintenance_stage(stype, scfg or {}, base_dir)
+            elif stype == "decontaminate":
+                # token-level benchmark decontamination: sources are
+                # [corpus, benchmark]; map-only arrays_overlap filter
+                from qsvspark.pipeline.northstar import decontaminate_stage
+
+                srcs = self._resolve(scfg.get("sources", []))
+                if len(srcs) != 2:
+                    raise InvalidArgumentError(
+                        "decontaminate stage needs exactly 2 sources "
+                        "(corpus, benchmark)")
+                params = scfg.get("params") or {}
+                df = decontaminate_stage(
+                    srcs[0], srcs[1],
+                    n=int(params.get("n", 8)),
+                    tokens_col=params.get("tokens_col", "tokens"),
+                )
             elif stype == "pack":
                 # sequence packing as a DAG stage: chunked (default) or
                 # greedy mode over an earlier stage's (id, n_tok) columns

@@ -757,3 +757,77 @@ class TestPurgeQuarantineInterplay:
             F.sum("seq_count").alias("n")).collect()[0]["n"]
         assert total == 148
         assert pipe.aggregates().where(F.col("seq_count") <= 0).count() == 0
+
+
+class TestDecontaminate:
+    """Token-level benchmark decontamination: map-only arrays_overlap
+    probe against a broadcast benchmark gram set."""
+
+    N_GRAM = 4
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, [1, 2, 3, 4, 5, 6]),        # contains bench window 3,4,5,6
+            (1, [9, 9, 9, 9]),              # clean
+            (2, [3, 4, 5, 7, 8, 9]),        # shares only a 3-run: below n
+            (3, [10, 3, 4, 5, 6, 11]),      # bench window mid-sequence
+            (4, [1, 2]),                    # shorter than n: no grams
+        ]
+        return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    @pytest.fixture(scope="class")
+    def bench(self, spark):
+        return spark.createDataFrame(
+            [(100, [3, 4, 5, 6])], "doc_id long, tokens array<int>"
+        )
+
+    def test_drops_exact_window_matches_only(self, corpus, bench):
+        from qsvspark.pipeline import decontaminate_stage
+
+        kept = sorted(
+            r["doc_id"]
+            for r in decontaminate_stage(corpus, bench, n=self.N_GRAM).collect()
+        )
+        # 0 and 3 contain the full 4-token bench window; 2 shares only a
+        # 3-token run; 4 has no grams at all
+        assert kept == [1, 2, 4]
+
+    def test_empty_benchmark_keeps_everything(self, spark, corpus):
+        from qsvspark.pipeline import decontaminate_stage
+
+        empty = spark.createDataFrame([], "doc_id long, tokens array<int>")
+        assert decontaminate_stage(corpus, empty, n=self.N_GRAM).count() == 5
+
+    def test_bench_gram_bound_enforced(self, corpus, bench):
+        from qsvspark.pipeline import decontaminate_stage
+
+        with pytest.raises(ValueError, match="max_bench_grams"):
+            decontaminate_stage(corpus, bench, n=self.N_GRAM, max_bench_grams=0)
+
+    def test_plan_is_map_only_probe(self, corpus, bench):
+        # the corpus side must reach the filter through a broadcast
+        # nested-loop join (single-row bench array), never a sort-merge
+        # or hash join that would shuffle corpus rows
+        from qsvspark.pipeline import decontaminate_stage
+
+        plan = (
+            decontaminate_stage(corpus, bench, n=self.N_GRAM)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_synth_tokens_self_decontaminate(self, spark):
+        # a benchmark drawn from the corpus itself must remove at least
+        # its own members; disjoint-seed corpus keeps everything (xxhash
+        # windows of random 50k-vocab tokens essentially never collide)
+        from qsvspark.pipeline import decontaminate_stage
+
+        corp = synth_tokens(spark, 300, seed=5)
+        bench = corp.where("doc_id % 50 = 0")
+        out = decontaminate_stage(corp, bench, n=8)
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert kept.isdisjoint(bench_ids)
+        assert len(kept) >= 300 - len(bench_ids) - 5
