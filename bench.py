@@ -106,13 +106,60 @@ SKEW_ROWS = int(os.environ.get("QSVSPARK_BENCH_SKEW_ROWS", "16000000"))
 # that per-row rates stay flat (manifest JSON, footer enumeration, and
 # IVF sampling caps are all exercised at the larger size).
 SKIP_SF1 = os.environ.get("QSVSPARK_BENCH_SKIP_SF1", "") == "1"
-SF1_ROWS = int(os.environ.get("QSVSPARK_BENCH_SF1_ROWS", "40000000"))
+SF1_ROWS = int(os.environ.get("QSVSPARK_BENCH_SF1_ROWS", "20000000"))
 SF1_QUERIES = ["select", "isin_numeric", "uniq", "count", "pivot", "stats"]
 SF1_COPIES = 10
+
+# ~bytes of snappy parquet per synth-token row (avg 264 int32 tokens,
+# near-incompressible); the sf1 section holds input + routed ≈ 2 copies
+SF1_BYTES_PER_ROW = 1100
+
+
+def _default_driver_mem() -> str:
+    """Size the local-mode driver heap from the box: this one JVM stands
+    in for a whole cluster's executors, so the 8g library default (fine
+    for tests at parallelism 4) starves 32 concurrent tasks routing tens
+    of GB — the first r4 full run OOMed the route write's parquet
+    buffers at sf1. A quarter of RAM, capped at 32g, leaves the rest for
+    tmpfs working sets and the OS."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        gb = kb >> 20
+    except (OSError, StopIteration, ValueError):
+        gb = 16
+    return f"{min(32, max(8, gb // 4))}g"
+
+
+os.environ.setdefault("QSVSPARK_DRIVER_MEM", _default_driver_mem())
 
 
 def _fast_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def _fit_sf1_rows(rows: int) -> tuple[int, str | None]:
+    """Largest-that-fits guard: the sf1 working set is ~2 copies of the
+    token table on _fast_dir (often tmpfs = RAM). Shrink the row count
+    (in 1M steps) until input+routed fits in 60% of the free space, so
+    the decade run degrades to largest-that-fits instead of ENOSPC/OOM
+    — the 40M default needs ~84 GB free; this box's /dev/shm plus a
+    32 GB driver heap cannot hold it, which killed the first r4 run."""
+    try:
+        st = os.statvfs(_fast_dir())
+        free = st.f_bavail * st.f_frsize
+    except OSError:
+        return rows, None
+    budget = int(free * 0.6)
+    fitted = min(rows, max(1_000_000, budget // (2 * SF1_BYTES_PER_ROW)))
+    fitted = (fitted // 1_000_000) * 1_000_000
+    if fitted < rows:
+        return fitted, (
+            f"sf1 rows reduced {rows} -> {fitted}: working set ~"
+            f"{2 * rows * SF1_BYTES_PER_ROW >> 30} GiB vs "
+            f"{free >> 30} GiB free on {_fast_dir()}"
+        )
+    return rows, None
 
 
 def _materialize_input(spark, rows: int, path: str) -> None:
@@ -803,23 +850,27 @@ def _run_sf1(spark, queries: dict, sf01_steady: dict) -> dict:
 
     base = _fast_dir()
     d = tempfile.mkdtemp(prefix="bench_sf1_", dir=base)
-    out: dict = {"rows_tokens": SF1_ROWS, "table_copies": SF1_COPIES}
+    rows, fit_note = _fit_sf1_rows(SF1_ROWS)
+    out: dict = {"rows_tokens": rows, "table_copies": SF1_COPIES}
+    if fit_note:
+        out["fit_note"] = fit_note
+        _log(f"[bench] {fit_note}")
     try:
         # -- pipeline at 10× ------------------------------------------
         input_path = os.path.join(d, "tokens")
-        _materialize_input(spark, SF1_ROWS, input_path)
+        _materialize_input(spark, rows, input_path)
         wh = os.path.join(d, "wh")
         pipe = NorthStarPipeline(spark, wh)
         tokens = spark.read.parquet(input_path)
         t0 = time.time()
-        pipe.run(tokens, input_fingerprint=f"bench-sf1-{SF1_ROWS}")
+        pipe.run(tokens, input_fingerprint=f"bench-sf1-{rows}")
         wall = round(time.time() - t0, 3)
         out["pipeline"] = {
             "seconds": wall,
-            "sequences_per_sec": round(SF1_ROWS / wall, 1),
+            "sequences_per_sec": round(rows / wall, 1),
         }
-        inc_rows = SF1_ROWS // 10
-        day2 = synth_tokens(spark, inc_rows, id_offset=SF1_ROWS)
+        inc_rows = rows // 10
+        day2 = synth_tokens(spark, inc_rows, id_offset=rows)
         t0 = time.time()
         im = pipe.run_increment(day2, f"bench-sf1-inc-{inc_rows}")
         wall = round(time.time() - t0, 3)
