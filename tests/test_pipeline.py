@@ -799,24 +799,21 @@ class TestDecontaminate:
         empty = spark.createDataFrame([], "doc_id long, tokens array<int>")
         assert decontaminate_stage(corpus, empty, n=self.N_GRAM).count() == 5
 
-    def test_bench_gram_bound_enforced(self, corpus, bench):
+    def test_plan_is_broadcast_probe(self, corpus, bench):
+        # both joins must resolve to broadcasts (bench grams by hint,
+        # matched ids by AQE) — corpus rows never cross a shuffle; a
+        # SortMergeJoin anywhere means the corpus got sorted/exchanged
         from qsvspark.pipeline import decontaminate_stage
 
-        with pytest.raises(ValueError, match="max_bench_grams"):
-            decontaminate_stage(corpus, bench, n=self.N_GRAM, max_bench_grams=0)
-
-    def test_plan_is_map_only_probe(self, corpus, bench):
-        # the corpus side must reach the filter through a broadcast
-        # nested-loop join (single-row bench array), never a sort-merge
-        # or hash join that would shuffle corpus rows
-        from qsvspark.pipeline import decontaminate_stage
-
-        plan = (
-            decontaminate_stage(corpus, bench, n=self.N_GRAM)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert "BroadcastNestedLoopJoin" in plan
-        assert "SortMergeJoin" not in plan
+        out = decontaminate_stage(corpus, bench, n=self.N_GRAM)
+        out.collect()  # let AQE finalize
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+        # (which legitimately carries the SMJ placeholder) — assert on
+        # the Final Plan section only
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "SortMergeJoin" not in final
 
     def test_synth_tokens_self_decontaminate(self, spark):
         # a benchmark drawn from the corpus itself must remove at least
@@ -825,7 +822,8 @@ class TestDecontaminate:
         from qsvspark.pipeline import decontaminate_stage
 
         corp = synth_tokens(spark, 300, seed=5)
-        bench = corp.where("doc_id % 50 = 0")
+        # synth doc_id is a string path; pick a deterministic ~2% slice
+        bench = corp.where("doc_id LIKE '%00'")
         out = decontaminate_stage(corp, bench, n=8)
         bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
         kept = {r["doc_id"] for r in out.select("doc_id").collect()}
