@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
                          "files (Iceberg rewrite_data_files equivalent)")
     ap.add_argument("--target-file-mb", type=int, default=128,
                     help="compaction target data-file size")
+    ap.add_argument("--pack-sinks", type=int, metavar="SEQ_LEN", default=None,
+                    help="after the run, lay the routed table out as "
+                         "fixed-length training sequences (greedy no-split "
+                         "packing per sink) into a 'packed' table")
     ap.add_argument("--increment", action="store_true",
                     help="append-only increment: route ONLY this input and "
                          "chain it onto the committed routed table; "
@@ -170,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         metrics["compaction"] = (
             {"snapshot": m["snapshot"], "files": len(pipe.catalog.data_files("routed"))}
             if m else "already-compact"
+        )
+    if args.pack_sinks:
+        m = pipe.pack_sinks(seq_len=args.pack_sinks)
+        metrics["packed"] = (
+            {"snapshot": m["snapshot"], "rows": m.get("row_count")}
+            if m else "already-packed"
         )
     print(json.dumps(metrics))
     spark.stop()

@@ -168,6 +168,7 @@ def pack_greedy(
     id_col: str,
     seq_len: int,
     num_partitions: Optional[int] = None,
+    group_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """No-split first-fit packing, partition-local.
 
@@ -176,32 +177,36 @@ def pack_greedy(
     when the doc doesn't fit. A doc longer than ``seq_len`` gets a
     sequence of its own, flagged ``oversized=1`` (the caller decides to
     truncate or split upstream). Output: ``id_col``, ``n_tok_col``,
-    ``seq_id`` (globalized), ``seq_fill`` (tokens already in the
-    sequence before this doc), ``oversized``.
+    group columns, ``seq_id`` (globalized), ``seq_fill`` (tokens
+    already in the sequence before this doc), ``oversized``.
+
+    ``group_cols``: sequences never mix groups — each task keeps one
+    open bin PER GROUP VALUE it sees (the routed-sink case: a training
+    sequence never spans two sinks). State is O(groups-in-shard).
 
     Scale shape: zero shuffles beyond the optional repartition; state
-    is O(1) per task (one open bin — first-fit with a single open bin
-    keeps state bounded and is within 2x of optimal bin count, the
-    standard Next-Fit guarantee; good enough for training layout where
-    padding waste, not bin optimality, is the metric).
+    is one open bin per group (Next-Fit: within 2x of optimal bin
+    count — fine for training layout where padding waste, not bin
+    optimality, is the metric).
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    src = df.select(id_col, n_tok_col)
+    groups = list(group_cols or [])
+    src = df.select(id_col, n_tok_col, *groups)
     if num_partitions:
         src = src.repartition(num_partitions, id_col)
 
-    schema = (
-        f"{id_col} long, {n_tok_col} long, seq_id long, seq_fill long, oversized int"
+    keep_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
     )
+    schema = f"{keep_fields}, seq_id long, seq_fill long, oversized int"
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas yields all batches of ONE partition to one call,
         # so packer state legally spans the whole shard.
         pid = None
-        local_seq = 0
-        fill = 0
-        opened = False
+        next_seq = 0  # pid-wide counter -> seq ids unique across groups
+        bins: dict = {}  # group key -> [seq_local, fill]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -210,37 +215,40 @@ def pack_greedy(
                 from pyspark import TaskContext
 
                 pid = TaskContext.get().partitionId()
-            ids = pdf[id_col].astype("int64").to_numpy()
             toks = pdf[n_tok_col].astype("int64").to_numpy()
+            if groups:
+                keys = list(zip(*(pdf[g].to_numpy() for g in groups)))
+            else:
+                keys = None
             seq_ids = []
             fills = []
             oversized = []
-            for t in toks:
+            for i, t in enumerate(toks):
                 t = int(t)
+                key = keys[i] if keys is not None else ()
                 big = t > seq_len
-                if not opened:
-                    opened = True
-                    fill = 0
-                elif big or fill + t > seq_len:
-                    local_seq += 1
-                    fill = 0
-                seq_ids.append((pid << _GREEDY_PID_SHIFT) | local_seq)
-                fills.append(fill)
+                b = bins.get(key)
+                if b is None:
+                    b = bins[key] = [next_seq, 0]
+                    next_seq += 1
+                elif big or b[1] + t > seq_len:
+                    b[0] = next_seq
+                    b[1] = 0
+                    next_seq += 1
+                seq_ids.append((pid << _GREEDY_PID_SHIFT) | b[0])
+                fills.append(b[1])
                 oversized.append(1 if big else 0)
-                fill += t
+                b[1] += t
                 if big:
                     # an oversized doc closes its sequence immediately
-                    local_seq += 1
-                    fill = 0
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    n_tok_col: toks,
-                    "seq_id": pd.Series(seq_ids, dtype="int64"),
-                    "seq_fill": pd.Series(fills, dtype="int64"),
-                    "oversized": pd.Series(oversized, dtype="int32"),
-                }
-            )
+                    b[0] = next_seq
+                    b[1] = 0
+                    next_seq += 1
+            out = pdf.copy()
+            out["seq_id"] = pd.Series(seq_ids, dtype="int64").to_numpy()
+            out["seq_fill"] = pd.Series(fills, dtype="int64").to_numpy()
+            out["oversized"] = pd.Series(oversized, dtype="int32").to_numpy()
+            yield out
 
     return src.mapInPandas(pack, schema=schema)
 

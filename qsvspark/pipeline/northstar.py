@@ -1004,6 +1004,48 @@ class NorthStarPipeline:
             cluster_by=cluster_by if cluster_by is not None else self.route_cluster_by,
         )
 
+    def pack_sinks(self, seq_len: int = 2048) -> dict | None:
+        """Lay the routed table out as fixed-length training sequences —
+        the step that turns routed pre-tokenized documents into the
+        corpus's sequence table (the north-star deliverable). Greedy
+        no-split packing, partition-local (functions/packing.pack_greedy)
+        with ``group_cols=["sink"]``: a sequence never spans two sinks,
+        quarantined rows are excluded, and packing parallelizes without
+        any shuffle because cross-shard sequence order is irrelevant for
+        training layout.
+
+        Writes a ``packed`` table (doc_id, n_tok, sink, seq_id,
+        seq_fill, oversized), partitioned by sink, fingerprinted on the
+        routed lineage + seq_len — rerun after more increments re-packs
+        only because the routed fingerprint chain changed; a crash
+        before commit leaves no partial state (snapshot write is
+        atomic-by-rename). Returns the manifest, or None when already
+        committed (resume)."""
+        from qsvspark.functions.packing import pack_greedy
+
+        snap = self.catalog.current_snapshot("routed")
+        if snap is None:
+            raise ValueError("pack_sinks needs a committed routed table")
+        man = self.catalog.manifest("routed", snap) or {}
+        routed_fp = man.get("input_fingerprint") or snap
+        pack_fp = f"{routed_fp}|pack|seq_len={seq_len}"
+        if self.catalog.find_committed("packed", pack_fp):
+            return None
+        src = self.routed()
+        if self.quarantine:
+            src = src.where(F.col("sink") != QUARANTINE_SINK)
+        packed = pack_greedy(
+            src, "n_tok", "doc_id", seq_len, group_cols=["sink"]
+        )
+        return self.catalog.write(
+            packed,
+            "packed",
+            input_fingerprint=pack_fp,
+            lineage={"stages": ["pack"], "inputs": [routed_fp]},
+            partition_by="sink",
+            count_by="sink",
+        )
+
     # -- results ------------------------------------------------------
 
     def routed(self) -> DataFrame:

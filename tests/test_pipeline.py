@@ -829,3 +829,46 @@ class TestDecontaminate:
         kept = {r["doc_id"] for r in out.select("doc_id").collect()}
         assert kept.isdisjoint(bench_ids)
         assert len(kept) >= 300 - len(bench_ids) - 5
+
+
+class TestPackSinks:
+    """pack_sinks: routed docs laid out as fixed-length training
+    sequences, greedy no-split, never mixing sinks in one sequence."""
+
+    SEQ_LEN = 1024
+
+    @pytest.fixture(scope="class")
+    def pipe(self, spark, tmp_path_factory):
+        from qsvspark.pipeline import NorthStarPipeline
+
+        wh = str(tmp_path_factory.mktemp("packwh"))
+        p = NorthStarPipeline(spark, wh)
+        p.run(synth_tokens(spark, 3000, seed=21), input_fingerprint="pack-test")
+        m = p.pack_sinks(seq_len=self.SEQ_LEN)
+        assert m is not None
+        return p
+
+    def test_every_routed_doc_packed_once(self, pipe):
+        from qsvspark.pipeline import QUARANTINE_SINK
+
+        packed = pipe.catalog.read(pipe.spark, "packed")
+        routed = pipe.routed().where(f"sink != '{QUARANTINE_SINK}'")
+        assert packed.count() == routed.count()
+        assert packed.select("doc_id").distinct().count() == routed.count()
+
+    def test_sequences_respect_seq_len_and_sink(self, pipe):
+        rows = pipe.catalog.read(pipe.spark, "packed").collect()
+        by_seq: dict = {}
+        for r in rows:
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        assert by_seq
+        for docs in by_seq.values():
+            assert len({d["sink"] for d in docs}) == 1  # never mixes sinks
+            if any(d["oversized"] for d in docs):
+                assert len(docs) == 1
+            else:
+                assert sum(d["n_tok"] for d in docs) <= self.SEQ_LEN
+
+    def test_resume_is_noop_and_new_seq_len_repacks(self, pipe):
+        assert pipe.pack_sinks(seq_len=self.SEQ_LEN) is None  # committed
+        assert pipe.pack_sinks(seq_len=512) is not None  # new layout
