@@ -1114,6 +1114,18 @@ def main() -> None:
             "cumulative_rows": im["rows"],
         }
 
+        # pack the routed corpus into fixed-length training sequences —
+        # the north-star deliverable; throughput is per routed row
+        t0 = time.time()
+        pk = pipe.pack_sinks(seq_len=2048)
+        pack_wall = round(time.time() - t0, 3)
+        packed_rows = (pk or {}).get("row_count") or 0
+        pipeline["pack"] = {
+            "rows": packed_rows,
+            "seconds": pack_wall,
+            "rows_per_sec": round(packed_rows / pack_wall, 1) if pack_wall else None,
+        }
+
         if not SKIP_SF1:
             try:
                 _log(f"[bench] sf1 section ({SF1_ROWS} pipeline rows, "
@@ -1178,6 +1190,10 @@ def main() -> None:
         if "increment" in pipeline:
             pipeline_summary["increment_seq_per_sec"] = (
                 pipeline["increment"]["sequences_per_sec"]
+            )
+        if "pack" in pipeline:
+            pipeline_summary["pack_rows_per_sec"] = (
+                pipeline["pack"]["rows_per_sec"]
             )
     skew_summary = None
     if skew:
