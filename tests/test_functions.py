@@ -378,3 +378,25 @@ class TestIvf:
         assert probed == adhoc
         probe = probed_centroids(qv, idx.centroids, 3)
         assert len(probe) == 3 < len(manifest["partition_counts"])
+
+
+class TestRetiredRegistryVariants:
+    """The r3/r4 registry retirements (sed_all, convert_xml,
+    timeline_avg, pivot_median, pivot_std) stay exercised here so the
+    'retired to pytest-only coverage' claim holds — each must still run
+    and produce sane shapes against the test-scale tables."""
+
+    def test_retired_variants_still_run(self, spark):
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        out = e.q_sed_all(spark, sf)
+        assert out.count() >= 1  # the '1' nation names match after vowel-sed
+        xml = e.q_convert_xml(spark, sf).first()["props"]
+        assert xml.startswith("<k>") and xml.endswith("</k>")
+        tl = e.q_timeline_avg(spark, sf)
+        assert tl.count() > 0 and "avg_r" in tl.columns
+        med = {tuple(r)[:2]: r["qty_med"] for r in e.q_pivot_median(spark, sf).collect()}
+        std = {tuple(r)[:2]: r["qty_std"] for r in e.q_pivot_std(spark, sf).collect()}
+        assert set(med) == set(std) and len(med) >= 3
+        assert all(v is None or v >= 0 for v in std.values())
