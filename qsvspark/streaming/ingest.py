@@ -68,6 +68,7 @@ def incremental_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     distinct_mode: str = "merge",
+    pre_stage=None,
 ) -> StreamingQuery:
     """Continuous catalog ingestion: each micro-batch of arriving token
     files becomes ONE pipeline increment (`NorthStarPipeline.run_increment`)
@@ -82,6 +83,14 @@ def incremental_ingest(
     mid-write left an uncommitted snapshot, which resume ignores.
 
     ``pipe``: a NorthStarPipeline whose warehouse receives the increments.
+
+    ``pre_stage``: optional DataFrame -> DataFrame hook applied to each
+    micro-batch BEFORE it becomes an increment — the seam for streaming
+    corpus hygiene (e.g. ``lambda df: decontaminate_stage(df, benchmark)``
+    drops benchmark-contaminated sequences as they arrive). It must be
+    deterministic: the increment fingerprint only covers the batch id,
+    so a redelivered batch must transform identically for exactly-once
+    to hold.
     """
     tokens = (
         spark.readStream.schema(TOKENS_DDL).format("parquet")
@@ -90,6 +99,8 @@ def incremental_ingest(
         tokens = tokens.option("maxFilesPerTrigger", str(max_files_per_trigger))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if pre_stage is not None:
+            batch_df = pre_stage(batch_df)
         pipe.run_increment(
             batch_df, f"stream-{batch_id}", distinct_mode=distinct_mode
         )

@@ -440,3 +440,36 @@ class TestStreamingQuarantine:
         total = pipe.aggregates().agg(
             F.sum("seq_count").alias("n")).collect()[0]["n"]
         assert total == 801
+
+
+class TestStreamingDecontaminate:
+    """pre_stage hook on incremental_ingest: benchmark-contaminated
+    sequences are dropped as they arrive, and the routed result equals
+    the batch decontaminate-then-route equivalent."""
+
+    def test_streamed_decontaminate_matches_batch(self, spark, tmp_path):
+        from qsvspark.pipeline import decontaminate_stage
+
+        inp, wh, ckpt = (str(tmp_path / d) for d in ("in", "wh", "ckpt"))
+        synth_tokens(spark, 1200, seed=31, num_partitions=1).write.parquet(
+            os.path.join(inp, "day1"))
+        synth_tokens(spark, 800, seed=31, num_partitions=1,
+                     id_offset=1200).write.parquet(os.path.join(inp, "day2"))
+        all_tokens = spark.read.parquet(inp + "/*/")
+        bench = all_tokens.where("doc_id LIKE '%00'").cache()
+        bench.count()
+
+        pipe = NorthStarPipeline(spark, wh, parse_mode="pandas",
+                                 route_tasks_per_core=1)
+        q = incremental_ingest(
+            spark, inp + "/*/", pipe, ckpt, max_files_per_trigger=1,
+            pre_stage=lambda df: decontaminate_stage(df, bench, n=8),
+        )
+        q.awaitTermination(180)
+
+        batch_clean = decontaminate_stage(all_tokens, bench, n=8)
+        assert pipe.routed().count() == batch_clean.count()
+        routed_ids = {r["doc_id"] for r in pipe.routed().select("doc_id").collect()}
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        assert routed_ids.isdisjoint(bench_ids)
+        bench.unpersist()
