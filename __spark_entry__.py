@@ -341,15 +341,45 @@ def q_seq_pack(spark, sf):
     # count as token count, 256-token sequences). The Spark side is a
     # distributed prefix sum (bucketed window — NO single-partition
     # Window.orderBy); the oracle is the equivalent global window cumsum.
+    # Tokenization is the LIBRARY tokenizer (_ws_tokens: trim + \s+) so
+    # the oracle pins its actual semantics, not a single-space split
+    # that only agrees on strictly single-space fixture text (ADVICE r4).
     from qsvspark.functions import pack_chunked
+    from qsvspark.functions.text import _ws_tokens
 
     docs = _t(spark, sf, "documents").select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
     )
     out = pack_chunked(docs, "n_tok", "doc_id", seq_len=256, n_buckets=16)
     return out.select(
         "doc_id", "n_tok", "global_offset", "first_seq", "last_seq", "spans_boundary"
+    )
+
+
+def q_pack_sequences(spark, sf):
+    # The materialized sequence table — the north-star deliverable
+    # (VERDICT r4 #4): concat-and-chunk layout turned into PHYSICAL
+    # fixed-length token arrays, one row per sequence. Tokens are
+    # engine-portable ints (per-word UTF8 byte length via the library
+    # tokenizer), so the DuckDB oracle reproduces every array
+    # value-for-value. Plan shape: distributed prefix sum + one bounded
+    # explode + one keyed groupBy — no single-partition stage, no
+    # Python. Sequence assembly itself is codegen (slice/sort/flatten).
+    from qsvspark.functions import materialize_chunked_sequences, pack_chunked
+    from qsvspark.functions.text import _ws_tokens
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.transform(_ws_tokens(F.col("text")), F.octet_length).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens").cast("long"))
+    layout = pack_chunked(docs, "n_tok", "doc_id", seq_len=64, n_buckets=16)
+    seqs = materialize_chunked_sequences(layout, seq_len=64)
+    return seqs.select(
+        "seq_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
     )
 
 
@@ -864,8 +894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # convert_xml, timeline_avg, pivot_median, pivot_std made room
         # for seq_pack / contamination / pii_scrub / text_repetition.
         # sed_all was retired in r3 in favor of pipeline_quarantine.
+        # r5: isin_empty (pinned by tests/test_ops_core.py
+        # test_empty_values_empty_result; isin_string/isin_numeric stay
+        # oracle-checked) made room for pack_sequences — the
+        # materialized sequence table, full value oracle.
         "pipeline_quarantine": q_pipeline_quarantine,
-        "isin_empty": q_isin_empty,
+        "pack_sequences": q_pack_sequences,
         "join": q_join,
         "join_left": q_join_left,
         "concat": q_concat,
@@ -989,9 +1023,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # (r4) convert_xml / timeline_avg / pivot_median / pivot_std
         # oracles retired with their registry slots — see queries().
+        # seq_pack / contamination / text_repetition tokenize with the
+        # LIBRARY tokenizer semantics (trim + \s+), not single-space
+        # split — ADVICE r4: single-space only agreed because fixture
+        # text happens to be strictly single-space separated.
         "seq_pack": (
             "WITH t AS (SELECT doc_id,"
-            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),"
+            r" CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+            " AS n_tok FROM documents),"
             " c AS (SELECT doc_id, n_tok,"
             " CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
@@ -1005,7 +1044,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM c"
         ),
         "contamination": (
-            "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+            r"WITH w AS (SELECT doc_id,"
+            r" string_split_regex(trim(lower(text)), '\s+') AS ws"
             " FROM documents),"
             " bench AS (SELECT DISTINCT unnest(list_transform("
             " generate_series(1, len(ws) - 2),"
@@ -1026,16 +1066,24 @@ def oracle_sql() -> dict[str, str]:
             " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
             " || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
             " || ' ' || text AS s FROM documents)"
+            # the chain mirrors functions/text.py:PII_PATTERNS order
+            # exactly: email, IP, SSN, then the two r5 phone forms
+            # (parenthesized area code, international +CC) BEFORE the
+            # bare NNN-NNN-NNNN rule
             " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
-            " regexp_replace(s,"
+            " regexp_replace(regexp_replace(regexp_replace(s,"
             r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
             r" '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),"
             " '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),"
+            r" '\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),"
+            r" '\+[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',"
+            " '<PHONE>', 'g'),"
             r" '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')"
             " AS scrubbed FROM raw"
         ),
         "text_repetition": (
-            "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+            r"WITH w AS (SELECT doc_id,"
+            r" string_split_regex(trim(lower(text)), '\s+') AS ws"
             " FROM documents),"
             " wc AS (SELECT doc_id, t, count(*) AS c"
             " FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),"
@@ -1079,7 +1127,36 @@ def oracle_sql() -> dict[str, str]:
             r" CASE WHEN error_reason IS NOT NULL THEN 'sink_quarantine'"
             r" ELSE sink0 END AS sink, error_reason FROM classified"
         ),
-        "isin_empty": "SELECT event_id, event_type FROM events WHERE false",
+        # (r5) isin_empty oracle retired with its registry slot.
+        "pack_sequences": (
+            # the full materialized-sequence oracle: per-word byte-length
+            # tokens (strlen = UTF8 octet_length), global cumsum offsets,
+            # explode token positions, regroup by position // seq_len;
+            # n_docs counts every doc whose [first_seq..last_seq] span
+            # covers the sequence — the exact chunked-layout contract
+            r"WITH t AS (SELECT doc_id,"
+            r" list_transform(string_split_regex(trim(text), '\s+'),"
+            r" w -> CAST(strlen(w) AS INT)) AS toks FROM documents),"
+            " c AS (SELECT doc_id, toks,"
+            " CAST(len(toks) AS BIGINT) AS n_tok,"
+            " CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            " AS off FROM t),"
+            " pos AS (SELECT doc_id,"
+            " off + unnest(generate_series(1, len(toks))) - 1 AS p,"
+            " toks[unnest(generate_series(1, len(toks)))] AS tok FROM c),"
+            " seqs AS (SELECT CAST(p // 64 AS BIGINT) AS seq_id,"
+            " string_agg(CAST(tok AS VARCHAR), ',' ORDER BY p) AS tokens_csv,"
+            " CAST(count(*) AS BIGINT) AS n_tokens FROM pos GROUP BY 1),"
+            " span AS (SELECT doc_id,"
+            " unnest(generate_series(off // 64,"
+            " (off + greatest(n_tok, 1) - 1) // 64)) AS seq_id FROM c),"
+            " nd AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,"
+            " CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"
+            " FROM span GROUP BY 1)"
+            " SELECT seqs.seq_id, tokens_csv, n_docs, n_tokens"
+            " FROM seqs JOIN nd USING (seq_id)"
+        ),
         "minhash_pairs": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "pipeline_parse": (

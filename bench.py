@@ -20,6 +20,13 @@ scheduling noise), reporting sequences/sec at both and
   eff = (throughput_4N / throughput_N) / 4.
 Every rep is individually fenced (timeout / crash → recorded in
 ``scaling.errors``); the bench ALWAYS emits its final JSON line.
+Delivery is additionally kill-proof (round 4's driver artifact was
+rc=124/parsed:null): the summary line is (re)printed after EVERY
+completed section with ``"partial": true``, SIGTERM/SIGINT flush the
+current state before exiting, and $QSVSPARK_BENCH_TOTAL_BUDGET
+(default 6600 s, 0 = off) is a total-run deadline the scaling section
+and its clean-pair hunt respect with margin — so a consumer that takes
+the last parseable stdout line always gets the most complete state.
 
 Methodology notes (full analysis in BASELINE.md):
   - the input table is materialized ONCE (untimed) and read by every
@@ -79,6 +86,20 @@ WORKER_TIMEOUT = int(os.environ.get("QSVSPARK_BENCH_WORKER_TIMEOUT", "600"))
 # (hi, lo) pairs at TARGET_LO_SECONDS plus the extra hi reps and the
 # informational 8v32 pair.
 SCALING_BUDGET = int(os.environ.get("QSVSPARK_BENCH_SCALING_BUDGET", "5400"))
+# total-run deadline: the scaling section (and especially its open-ended
+# clean-pair hunt) must leave the process time to flush the final
+# summary line BEFORE the driver's outer timeout kills it — round 4's
+# recorded artifact was rc=124/parsed:null because the hunt slept
+# through 14 degraded host phases and the summary never printed. The
+# budget is measured from process start; 0 disables it.
+_RUN_T0 = time.time()
+TOTAL_BUDGET = int(os.environ.get("QSVSPARK_BENCH_TOTAL_BUDGET", "6600"))
+
+
+def _total_deadline() -> float:
+    """Absolute unix time the whole bench run must respect; +inf when
+    the total budget is disabled."""
+    return _RUN_T0 + TOTAL_BUDGET if TOTAL_BUDGET > 0 else float("inf")
 
 HEADLINE = [
     "select", "isin_numeric", "grep", "sed", "sort_head", "uniq", "count",
@@ -434,7 +455,10 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     # pair levels don't inflate the slow-level budget
     baseline = max(SCALING_PAIR)
     lo_cores = min(SCALING_PAIR)
-    deadline = time.time() + SCALING_BUDGET
+    # the section deadline respects BOTH its own budget and the
+    # total-run deadline (less a flush margin), so the driver's outer
+    # timeout can never catch the bench mid-hunt with nothing printed
+    deadline = min(time.time() + SCALING_BUDGET, _total_deadline() - 60)
     rows_per_file = total_rows // N_INPUT_FILES
     out: dict = {"reps": REPS, "runs": {}, "errors": []}
 
@@ -585,7 +609,14 @@ def _run_scaling(input_path: str, total_rows: int) -> dict:
     # can never become the reported pair, so waiting strictly beats
     # burning budget on one. Capped at a share of what remains so the
     # informational extra levels still run.
-    hunt_deadline = time.time() + 0.5 * max(0.0, deadline - time.time())
+    # the hunt additionally keeps a 2×WORKER_TIMEOUT margin to the
+    # total-run deadline: its reps are the longest fenced work in the
+    # bench, and an outer kill mid-hunt is exactly what lost round 4's
+    # driver artifact
+    hunt_deadline = min(
+        time.time() + 0.5 * max(0.0, deadline - time.time()),
+        _total_deadline() - 2 * WORKER_TIMEOUT,
+    )
     lo_obs = [e["run"]["seconds"] for e in entries if e["cores"] == p_lo]
     hi_obs = [e["run"]["seconds"] for e in entries if e["cores"] == p_hi]
     pair_cost = 1.3 * (min(lo_obs or [WORKER_TIMEOUT]) + min(hi_obs or [WORKER_TIMEOUT]))
@@ -945,211 +976,24 @@ def _emit_artifacts(
     return line
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
-        _scaling_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-                        int(sys.argv[5]))
-        return
-
-    from qsvspark.session import get_spark
-    import __spark_entry__ as entrymod
-
-    spark = get_spark("qsvspark-bench", parallelism=CPUS, shuffle_partitions=CPUS)
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    query_errors: dict[str, str] = {}
-    # Untimed warmup: first-use JVM costs (codegen JIT, noop-sink init,
-    # Arrow Python-worker spawn) land on whichever query runs first —
-    # rounds 1–2 charged ~1.4 s of it to `select`. Steady state is what
-    # the suite measures (the scaling section already excludes warmup);
-    # noted for cross-round comparability in BASELINE.md §4.
-    try:
-        import pandas as _wpd
-        from pyspark.sql.functions import pandas_udf as _wpudf
-
-        @_wpudf("double")
-        def _warm_udf(s: _wpd.Series) -> _wpd.Series:
-            return s * 1.0
-
-        warm = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        warm = warm.limit(20000).withColumn("__w", _warm_udf(warm["value"]))
-        warm.write.format("noop").mode("overwrite").save()
-        # warm EVERY Python worker, not just the one task limit() leaves:
-        # the first mapInPandas op otherwise pays CPUS × fork+import-pandas
-        # (measured: 13 s charged to multimodal_features at 32 threads)
-        def _warm_all(it):
-            import hashlib  # noqa: F401 — warm the module cache the
-            import numpy    # noqa: F401 — extension UDFs import on first use
-
-            for b in it:
-                yield b
-
-        spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(
-            _warm_all, "id long"
-        ).write.format("noop").mode("overwrite").save()
-    except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
-        _log(f"[bench] warmup skipped: {e!r}")
-    # 1-proc memcpy probes bracketing each timed section: a cold shot
-    # that lands in a host-degraded phase (neighbors saturating the
-    # memory bus — this box measures ~20 GB/s idle, observed dips to
-    # 4 GB/s) is attributable from the artifact alone, not only from
-    # BASELINE.md prose (round-3 extension regressions were exactly this
-    # ambiguity).
-    section_probes: dict[str, float | None] = {}
-    section_probes["before_headline_gbps"] = _bandwidth_probe(1)
-    steady: dict[str, float] = {}
-    for name in HEADLINE:
-        try:
-            df = qs[name](spark, SF_DIR)
-            t0 = time.time()
-            # a real action that materializes every row without driver collect
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            # steady-state rep: same plan re-executed — separates per-query
-            # fixed costs (first file listing, codegen JIT, Arrow worker
-            # spin-up) from throughput. Fixed costs are irrelevant at
-            # 100 TB where a query runs for minutes; `value` stays the
-            # cold single-shot for cross-round comparability.
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            steady[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the artifact
-            query_errors[name] = repr(e)[:300]
-        _log(f"[bench] headline {name}: {timings.get(name, 'ERROR')} "
-             f"(steady {steady.get(name, '-')})")
+def _assemble(state: dict) -> tuple[dict, dict]:
+    """Build the (summary, detail) artifact pair from whatever sections
+    have completed so far. Called after EVERY section (and from the
+    signal handler), so a kill at any point leaves the last flushed
+    stdout line parseable — round 4's driver artifact was rc=124 /
+    parsed:null because the one-shot summary at the end never ran."""
+    timings = state.get("timings") or {}
+    steady = state.get("steady") or {}
+    ext_timings = state.get("ext_timings") or {}
+    ext_steady = state.get("ext_steady") or {}
+    query_errors = state.get("query_errors") or {}
+    pipeline = state.get("pipeline")
+    skew = state.get("skew")
+    sf1 = state.get("sf1")
+    scaling = state.get("scaling")
     total = round(sum(timings.values()), 3)
     total_steady = round(sum(steady.values()), 3) if steady else None
-    section_probes["between_gbps"] = _bandwidth_probe(1)
 
-    ext_timings: dict[str, float] = {}
-    ext_steady: dict[str, float] = {}
-    for name in EXTENSIONS:
-        try:
-            df = qs[name](spark, SF_DIR)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            ext_timings[name] = round(time.time() - t0, 3)
-            # steady rep, same rationale as the headline: fixed per-query
-            # costs are irrelevant at 100 TB; the cold shot stays for
-            # cross-round comparability (round-3's extension "regressions"
-            # were unbracketed cold shots in a degraded host phase)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            ext_steady[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            query_errors[name] = repr(e)[:300]
-        _log(f"[bench] extension {name}: {ext_timings.get(name, 'ERROR')} "
-             f"(steady {ext_steady.get(name, '-')})")
-    # minhash_pairs above runs the md5-60 hash family (slow by design —
-    # it exists so DuckDB can replicate every value); this is the
-    # PRODUCTION family (native xxhash64, same plan shape)
-    try:
-        from qsvspark.functions import minhash_lsh_pairs
-
-        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        fast = minhash_lsh_pairs(docs, hash_fn="xxhash64", max_bucket_size=64)
-        t0 = time.time()
-        fast.write.format("noop").mode("overwrite").save()
-        ext_timings["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fast.write.format("noop").mode("overwrite").save()
-        ext_steady["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
-    except Exception as e:  # noqa: BLE001
-        query_errors["minhash_pairs_xxhash"] = repr(e)[:300]
-    _log(f"[bench] extension minhash_pairs_xxhash: "
-         f"{ext_timings.get('minhash_pairs_xxhash', 'ERROR')}")
-    section_probes["after_extensions_gbps"] = _bandwidth_probe(1)
-
-    skew: dict | None = None
-    if not SKIP_SKEW:
-        try:
-            _log(f"[bench] skew section ({SKEW_ROWS} rows, 50% hot)")
-            skew = _run_skew(spark)
-            _log(f"[bench] skew: agg {skew['agg']['speedup']}x, "
-                 f"join {skew['join']['speedup']}x salted speedup")
-        except Exception as e:  # noqa: BLE001
-            query_errors["__skew__"] = repr(e)[:300]
-
-    # materialize the pipeline inputs ONCE (untimed setup — the north-rule
-    # job reads an existing table; generation is not part of the pipeline)
-    base = _fast_dir()
-    input_dir = tempfile.mkdtemp(prefix="bench_input_", dir=base)
-    input_path = os.path.join(input_dir, "tokens")
-    wh = tempfile.mkdtemp(prefix="bench_pipe_", dir=base)
-    pipeline: dict | None = None
-    scaling: dict | None = None
-    sf1: dict | None = None
-    try:
-        _materialize_input(spark, SCALE_ROWS, input_path)
-
-        # pipeline throughput at full parallelism
-        from qsvspark.pipeline import NorthStarPipeline
-
-        tokens = spark.read.parquet(input_path)
-        pipe = NorthStarPipeline(spark, wh)
-        t0 = time.time()
-        pm = pipe.run(tokens, input_fingerprint=f"bench-pipe-{SCALE_ROWS}")
-        pipe_wall = round(time.time() - t0, 3)
-        pipeline = {
-            "rows": SCALE_ROWS,
-            "seconds": pipe_wall,
-            "sequences_per_sec": round(SCALE_ROWS / pipe_wall, 1),
-            "per_sink_counts": pm["per_sink_counts"],
-        }
-
-        # steady-state increment: route a 10% "day 2" batch and append it
-        # onto the committed table — the operating mode where the bulk is
-        # never re-read; throughput is per DELTA row
-        inc_rows = max(SCALE_ROWS // 10, 1)
-        from qsvspark.pipeline.tokens import synth_tokens
-
-        day2 = synth_tokens(spark, inc_rows, id_offset=SCALE_ROWS)
-        t0 = time.time()
-        im = pipe.run_increment(day2, f"bench-inc-{inc_rows}")
-        inc_wall = round(time.time() - t0, 3)
-        pipeline["increment"] = {
-            "delta_rows": im["delta_rows"],
-            "seconds": inc_wall,
-            "sequences_per_sec": round(im["delta_rows"] / inc_wall, 1),
-            "cumulative_rows": im["rows"],
-        }
-
-        # pack the routed corpus into fixed-length training sequences —
-        # the north-star deliverable; throughput is per routed row
-        t0 = time.time()
-        pk = pipe.pack_sinks(seq_len=2048)
-        pack_wall = round(time.time() - t0, 3)
-        packed_rows = (pk or {}).get("row_count") or 0
-        pipeline["pack"] = {
-            "rows": packed_rows,
-            "seconds": pack_wall,
-            "rows_per_sec": round(packed_rows / pack_wall, 1) if pack_wall else None,
-        }
-
-        if not SKIP_SF1:
-            try:
-                _log(f"[bench] sf1 section ({SF1_ROWS} pipeline rows, "
-                     f"{SF1_COPIES}x tables)")
-                sf1 = _run_sf1(spark, qs, steady)
-                _log(f"[bench] sf1 pipeline "
-                     f"{sf1['pipeline']['sequences_per_sec']} seq/s, "
-                     f"rate ratios {sf1.get('per_row_rate_ratio')}")
-            except Exception as e:  # noqa: BLE001
-                query_errors["__sf1__"] = repr(e)[:500]
-        spark.stop()
-
-        if not SKIP_SCALING:
-            scaling = _run_scaling(input_path, SCALE_ROWS)
-    except Exception as e:  # noqa: BLE001 — always emit the final JSON line
-        query_errors["__pipeline__"] = repr(e)[:500]
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-        shutil.rmtree(input_dir, ignore_errors=True)
-
-    # Full detail (per-level runs, probe history, calibration, per-sink
-    # counts) goes to a SIDE FILE; the printed line is a bounded summary —
-    # round 2's inlined detail grew past the driver's tail-capture window
-    # and the artifact recorded parsed:null despite rc=0.
     detail = {
         "metric": "qsvspark headline operator suite + parse-route-aggregate pipeline",
         "value": total,
@@ -1159,16 +1003,16 @@ def main() -> None:
         "queries_steady": steady,
         "extensions": ext_timings,
         "extensions_steady": ext_steady,
-        "section_probes": section_probes,
-        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "section_probes": state.get("section_probes") or {},
+        "sf": state["sf"],
         "pipeline": pipeline,
         "skew": skew,
         "sf1": sf1,
         "scaling": scaling,
+        "run_id": state["run_id"],
     }
     if query_errors:
         detail["errors"] = query_errors
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
 
     scaling_summary = None
     if scaling:
@@ -1186,7 +1030,8 @@ def main() -> None:
     pipeline_summary = None
     if pipeline:
         pipeline_summary = {k: pipeline[k]
-                            for k in ("rows", "seconds", "sequences_per_sec")}
+                            for k in ("rows", "seconds", "sequences_per_sec")
+                            if k in pipeline}
         if "increment" in pipeline:
             pipeline_summary["increment_seq_per_sec"] = (
                 pipeline["increment"]["sequences_per_sec"]
@@ -1229,16 +1074,289 @@ def main() -> None:
         "queries": timings,
         "extensions": ext_timings,
         "extensions_steady": ext_steady,
-        "section_probes": section_probes,
-        "sf": detail["sf"],
+        "section_probes": state.get("section_probes") or {},
+        "sf": state["sf"],
         "pipeline": pipeline_summary,
         "skew": skew_summary,
         "sf1": sf1_summary,
         "scaling": scaling_summary,
         "errors_count": len(query_errors),
         "detail_file": "BENCH_DETAIL.json",
+        "run_id": state["run_id"],
+        "sections_done": list(state.get("sections_done") or []),
     }
-    print(_emit_artifacts(summary, detail, detail_path))
+    return summary, detail
+
+
+def _flush_state(state: dict, detail_path: str, final: bool = False) -> str:
+    """Emit the current artifacts: write the detail file (atomic) and
+    print the bounded summary line to stdout. Non-final flushes carry
+    ``"partial": true``; a consumer that takes the LAST parseable JSON
+    line therefore always sees the most complete state the run reached."""
+    summary, detail = _assemble(state)
+    if not final:
+        summary["partial"] = True
+    line = _emit_artifacts(summary, detail, detail_path)
+    print(line, flush=True)
+    return line
+
+
+def _install_signal_flush(state: dict, detail_path: str):
+    """SIGTERM/SIGINT → flush whatever sections completed, then exit
+    128+sig. The driver kills the bench with `timeout` (SIGTERM first);
+    without this trap the in-flight section's results and the summary
+    line die with the process."""
+    import signal
+
+    def handler(sig, frame):  # noqa: ARG001
+        try:
+            state.setdefault("query_errors", {})["__signal__"] = (
+                f"killed by signal {sig} after "
+                f"{round(time.time() - _RUN_T0, 1)}s"
+            )
+            _flush_state(state, detail_path, final=False)
+        finally:
+            os._exit(128 + sig)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, handler)
+    return handler
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                        int(sys.argv[5]))
+        return
+
+    from qsvspark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("qsvspark-bench", parallelism=CPUS, shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    ext_timings: dict[str, float] = {}
+    ext_steady: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
+    section_probes: dict[str, float | None] = {}
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    state: dict = {
+        "run_id": f"run-{int(time.time())}-{os.getpid()}",
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "sections_done": [],
+        "timings": timings,
+        "steady": steady,
+        "ext_timings": ext_timings,
+        "ext_steady": ext_steady,
+        "query_errors": query_errors,
+        "section_probes": section_probes,
+    }
+    _install_signal_flush(state, detail_path)
+
+    def _section_done(name: str) -> None:
+        state["sections_done"].append(name)
+        _flush_state(state, detail_path)
+    # Untimed warmup: first-use JVM costs (codegen JIT, noop-sink init,
+    # Arrow Python-worker spawn) land on whichever query runs first —
+    # rounds 1–2 charged ~1.4 s of it to `select`. Steady state is what
+    # the suite measures (the scaling section already excludes warmup);
+    # noted for cross-round comparability in BASELINE.md §4.
+    try:
+        import pandas as _wpd
+        from pyspark.sql.functions import pandas_udf as _wpudf
+
+        @_wpudf("double")
+        def _warm_udf(s: _wpd.Series) -> _wpd.Series:
+            return s * 1.0
+
+        warm = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        warm = warm.limit(20000).withColumn("__w", _warm_udf(warm["value"]))
+        warm.write.format("noop").mode("overwrite").save()
+        # warm EVERY Python worker, not just the one task limit() leaves:
+        # the first mapInPandas op otherwise pays CPUS × fork+import-pandas
+        # (measured: 13 s charged to multimodal_features at 32 threads)
+        def _warm_all(it):
+            import hashlib  # noqa: F401 — warm the module cache the
+            import numpy    # noqa: F401 — extension UDFs import on first use
+
+            for b in it:
+                yield b
+
+        spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(
+            _warm_all, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001 — warmup must never fail the bench
+        _log(f"[bench] warmup skipped: {e!r}")
+    # 1-proc memcpy probes bracketing each timed section: a cold shot
+    # that lands in a host-degraded phase (neighbors saturating the
+    # memory bus — this box measures ~20 GB/s idle, observed dips to
+    # 4 GB/s) is attributable from the artifact alone, not only from
+    # BASELINE.md prose (round-3 extension regressions were exactly this
+    # ambiguity).
+    section_probes["before_headline_gbps"] = _bandwidth_probe(1)
+    for name in HEADLINE:
+        try:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            # a real action that materializes every row without driver collect
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            # steady-state rep: same plan re-executed — separates per-query
+            # fixed costs (first file listing, codegen JIT, Arrow worker
+            # spin-up) from throughput. Fixed costs are irrelevant at
+            # 100 TB where a query runs for minutes; `value` stays the
+            # cold single-shot for cross-round comparability.
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            steady[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the artifact
+            query_errors[name] = repr(e)[:300]
+        _log(f"[bench] headline {name}: {timings.get(name, 'ERROR')} "
+             f"(steady {steady.get(name, '-')})")
+    section_probes["between_gbps"] = _bandwidth_probe(1)
+    _section_done("headline")
+
+    for name in EXTENSIONS:
+        try:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            ext_timings[name] = round(time.time() - t0, 3)
+            # steady rep, same rationale as the headline: fixed per-query
+            # costs are irrelevant at 100 TB; the cold shot stays for
+            # cross-round comparability (round-3's extension "regressions"
+            # were unbracketed cold shots in a degraded host phase)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            ext_steady[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            query_errors[name] = repr(e)[:300]
+        _log(f"[bench] extension {name}: {ext_timings.get(name, 'ERROR')} "
+             f"(steady {ext_steady.get(name, '-')})")
+    # minhash_pairs above runs the md5-60 hash family (slow by design —
+    # it exists so DuckDB can replicate every value); this is the
+    # PRODUCTION family (native xxhash64, same plan shape)
+    try:
+        from qsvspark.functions import minhash_lsh_pairs
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        fast = minhash_lsh_pairs(docs, hash_fn="xxhash64", max_bucket_size=64)
+        t0 = time.time()
+        fast.write.format("noop").mode("overwrite").save()
+        ext_timings["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fast.write.format("noop").mode("overwrite").save()
+        ext_steady["minhash_pairs_xxhash"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        query_errors["minhash_pairs_xxhash"] = repr(e)[:300]
+    _log(f"[bench] extension minhash_pairs_xxhash: "
+         f"{ext_timings.get('minhash_pairs_xxhash', 'ERROR')}")
+    section_probes["after_extensions_gbps"] = _bandwidth_probe(1)
+    _section_done("extensions")
+
+    skew: dict | None = None
+    if not SKIP_SKEW:
+        try:
+            _log(f"[bench] skew section ({SKEW_ROWS} rows, 50% hot)")
+            skew = _run_skew(spark)
+            state["skew"] = skew
+            _log(f"[bench] skew: agg {skew['agg']['speedup']}x, "
+                 f"join {skew['join']['speedup']}x salted speedup")
+        except Exception as e:  # noqa: BLE001
+            query_errors["__skew__"] = repr(e)[:300]
+        _section_done("skew")
+
+    # materialize the pipeline inputs ONCE (untimed setup — the north-rule
+    # job reads an existing table; generation is not part of the pipeline)
+    base = _fast_dir()
+    input_dir = tempfile.mkdtemp(prefix="bench_input_", dir=base)
+    input_path = os.path.join(input_dir, "tokens")
+    wh = tempfile.mkdtemp(prefix="bench_pipe_", dir=base)
+    pipeline: dict | None = None
+    scaling: dict | None = None
+    sf1: dict | None = None
+    try:
+        _materialize_input(spark, SCALE_ROWS, input_path)
+
+        # pipeline throughput at full parallelism
+        from qsvspark.pipeline import NorthStarPipeline
+
+        tokens = spark.read.parquet(input_path)
+        pipe = NorthStarPipeline(spark, wh)
+        t0 = time.time()
+        pm = pipe.run(tokens, input_fingerprint=f"bench-pipe-{SCALE_ROWS}")
+        pipe_wall = round(time.time() - t0, 3)
+        pipeline = {
+            "rows": SCALE_ROWS,
+            "seconds": pipe_wall,
+            "sequences_per_sec": round(SCALE_ROWS / pipe_wall, 1),
+            "per_sink_counts": pm["per_sink_counts"],
+        }
+        state["pipeline"] = pipeline
+
+        # steady-state increment: route a 10% "day 2" batch and append it
+        # onto the committed table — the operating mode where the bulk is
+        # never re-read; throughput is per DELTA row
+        inc_rows = max(SCALE_ROWS // 10, 1)
+        from qsvspark.pipeline.tokens import synth_tokens
+
+        day2 = synth_tokens(spark, inc_rows, id_offset=SCALE_ROWS)
+        t0 = time.time()
+        im = pipe.run_increment(day2, f"bench-inc-{inc_rows}")
+        inc_wall = round(time.time() - t0, 3)
+        pipeline["increment"] = {
+            "delta_rows": im["delta_rows"],
+            "seconds": inc_wall,
+            "sequences_per_sec": round(im["delta_rows"] / inc_wall, 1),
+            "cumulative_rows": im["rows"],
+        }
+
+        # pack the routed corpus into fixed-length training sequences —
+        # the north-star deliverable; throughput is per routed row
+        t0 = time.time()
+        pk = pipe.pack_sinks(seq_len=2048)
+        pack_wall = round(time.time() - t0, 3)
+        packed_rows = (pk or {}).get("row_count") or 0
+        pipeline["pack"] = {
+            "rows": packed_rows,
+            "seconds": pack_wall,
+            "rows_per_sec": round(packed_rows / pack_wall, 1) if pack_wall else None,
+        }
+        _section_done("pipeline")
+
+        if not SKIP_SF1:
+            try:
+                _log(f"[bench] sf1 section ({SF1_ROWS} pipeline rows, "
+                     f"{SF1_COPIES}x tables)")
+                sf1 = _run_sf1(spark, qs, steady)
+                state["sf1"] = sf1
+                _log(f"[bench] sf1 pipeline "
+                     f"{sf1['pipeline']['sequences_per_sec']} seq/s, "
+                     f"rate ratios {sf1.get('per_row_rate_ratio')}")
+            except Exception as e:  # noqa: BLE001
+                query_errors["__sf1__"] = repr(e)[:500]
+            _section_done("sf1")
+        spark.stop()
+
+        if not SKIP_SCALING:
+            scaling = _run_scaling(input_path, SCALE_ROWS)
+            state["scaling"] = scaling
+    except Exception as e:  # noqa: BLE001 — always emit the final JSON line
+        query_errors["__pipeline__"] = repr(e)[:500]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(input_dir, ignore_errors=True)
+
+    # Full detail (per-level runs, probe history, calibration, per-sink
+    # counts) goes to a SIDE FILE; the printed line is a bounded summary —
+    # round 2's inlined detail grew past the driver's tail-capture window
+    # and the artifact recorded parsed:null despite rc=0. The final flush
+    # re-emits with partial=false; every earlier section already printed
+    # its own line, so the LAST parseable stdout line is always current.
+    if not SKIP_SCALING and scaling is not None:
+        state["sections_done"].append("scaling")
+    _flush_state(state, detail_path, final=True)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,8 @@ from qsvspark.functions.text import (
     word_ngrams,
 )
 from qsvspark.functions.packing import (
+    materialize_chunked_sequences,
+    materialize_greedy_sequences,
     pack_chunked,
     pack_greedy,
     pack_stats,
@@ -43,4 +45,5 @@ __all__ = [
     "ivf_topk", "train_ivf_centroids", "IvfIndex",
     "add_repetition_signals", "contamination", "scrub_pii", "word_ngrams",
     "pack_chunked", "pack_greedy", "pack_stats",
+    "materialize_chunked_sequences", "materialize_greedy_sequences",
 ]

@@ -125,12 +125,51 @@ def word_ngrams(col: Column, n: int, lower: bool = True) -> Column:
     )
 
 
+# Ceiling for broadcasting a benchmark gram set, as an ESTIMATED
+# IN-MEMORY relation size (rows × (payload width + per-row hash-relation
+# overhead)). Spark honors an explicit F.broadcast hint regardless of
+# size — an unguarded hint on an oversized benchmark hits the 8 GB
+# broadcast hard cap or driver OOM instead of degrading — so callers
+# size-probe first and drop the hint past this bound (the shuffled
+# semi-join is slower but always completes). Mirrors
+# io/snapshot.py:_DELETE_BROADCAST_MAX_BYTES, which gates the analogous
+# delete-key broadcast.
+BENCH_BROADCAST_MAX_BYTES = 128 * 1024 * 1024
+# rough per-row overhead of Spark's LongToUnsafeRowMap/BytesToBytesMap
+# broadcast relations (key hash + offsets + UnsafeRow header)
+_BROADCAST_ROW_OVERHEAD = 48
+
+
+def broadcast_if_small(
+    grams: DataFrame,
+    width: Column | int,
+    max_bytes: int = BENCH_BROADCAST_MAX_BYTES,
+):
+    """Apply F.broadcast(grams) only when the estimated in-memory
+    relation fits ``max_bytes``; otherwise return the frame unhinted so
+    Catalyst/AQE plan a shuffled join. ``width`` is the per-row payload
+    bytes — a constant for fixed-width keys, or a Column (e.g.
+    2*length(g) for UTF-16 strings) averaged over the set. The sizing
+    probe is one count/avg aggregate over the benchmark side only (the
+    side that is small whenever broadcasting is viable), run eagerly at
+    plan-build time."""
+    w = F.lit(float(width)) if isinstance(width, (int, float)) else width
+    n, avg_w = grams.agg(
+        F.count(F.lit(1)), F.avg(w.cast("double"))
+    ).first()
+    est = int(n * ((avg_w or 0.0) + _BROADCAST_ROW_OVERHEAD))
+    if est <= max_bytes:
+        return F.broadcast(grams)
+    return grams
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_bytes: int = BENCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Benchmark decontamination by exact word-n-gram overlap (the
     GPT-3/Llama recipe, usually n=13; tests use n=3 to suit the short
@@ -144,7 +183,10 @@ def contamination(
     construction (eval suites are fixed-size while the corpus grows),
     so the membership probe is a BROADCAST semi-structured join —
     corpus n-grams never shuffle for the join; the only exchange is the
-    per-doc count aggregate, map-side combined.
+    per-doc count aggregate, map-side combined. The broadcast hint is
+    SIZE-GUARDED (``broadcast_if_small``): a benchmark whose estimated
+    in-memory gram relation exceeds ``max_broadcast_bytes`` joins
+    shuffled instead of OOMing the driver on an unconditional hint.
     """
     bench_grams = (
         benchmark.select(
@@ -156,8 +198,12 @@ def contamination(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
     )
+    # UTF-16 in-memory strings: ~2 bytes/char
+    bench_side = broadcast_if_small(
+        bench_grams, 2 * F.length("g"), max_broadcast_bytes
+    )
     return (
-        doc_grams.join(F.broadcast(bench_grams), "g")
+        doc_grams.join(bench_side, "g")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_matched"))
     )
@@ -166,11 +212,15 @@ def contamination(
 # PII patterns written in the portable Java-regex/RE2 intersection so the
 # same literal string drives both Spark's regexp_replace and the DuckDB
 # oracle. Order matters: SSN before phone-like digit runs, email before
-# bare domains.
+# bare domains, and the wider phone forms (parenthesized area code,
+# international +CC) before the bare NNN-NNN-NNNN form — otherwise the
+# bare pattern eats the tail of "+1 555 123 4567" and strands the "+1".
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"\+[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
     (r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
 ]
 

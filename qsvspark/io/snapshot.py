@@ -173,10 +173,13 @@ def _zorder_expr(cols_ranges: list[tuple[str, float, float]],
 
 # Delete-key sets are broadcast to every task while they are small (the
 # common takedown case: a key file of doc ids), but takedowns accumulate
-# without bound; past this many bytes of at-rest parquet the reader falls
-# back to a shuffled anti-join rather than risk executor/driver memory on
-# an ever-growing broadcast. (Iceberg bounds delete application per data
-# file via its manifests; this is the emulation-layer equivalent bound.)
+# without bound; past this many bytes of ESTIMATED IN-MEMORY relation
+# (footer uncompressed stats + per-row overhead — see
+# _broadcast_estimate_bytes; at-rest snappy bytes understate highly
+# compressible keys by 10x+) the reader falls back to a shuffled
+# anti-join rather than risk executor/driver memory on an ever-growing
+# broadcast. (Iceberg bounds delete application per data file via its
+# manifests; this is the emulation-layer equivalent bound.)
 _DELETE_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
 
 
@@ -190,6 +193,36 @@ def _dir_bytes(*dirs: str) -> int:
                 if fn.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(root, fn))
     return total
+
+
+def _broadcast_estimate_bytes(*dirs: str) -> int:
+    """Estimated IN-MEMORY size of the broadcast relation built from the
+    parquet under ``dirs``. At-rest snappy bytes understate the hazard —
+    32 MB of highly-compressible key parquet can decompress to hundreds
+    of MB of broadcast relation — so this reads only the FOOTERS
+    (metadata, not data) and sums each column chunk's
+    total_uncompressed_size, plus a per-row overhead for the hash
+    relation (key hash + offsets + UnsafeRow header). Falls back to
+    3x the at-rest bytes when footer stats are unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        rows = 0
+        for d in dirs:
+            for root, _, files in os.walk(d):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    rows += md.num_rows
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for c in range(g.num_columns):
+                            total += g.column(c).total_uncompressed_size
+        return total + rows * 32
+    except Exception:  # noqa: BLE001 — a sizing estimate must never fail the op
+        return 3 * _dir_bytes(*dirs)
 
 
 class SnapshotCatalog:
@@ -588,7 +621,7 @@ class SnapshotCatalog:
             delete_dir
         )
         committed_keys = spark.read.parquet(delete_dir)
-        if _dir_bytes(delete_dir) <= _DELETE_BROADCAST_MAX_BYTES:
+        if _broadcast_estimate_bytes(delete_dir) <= _DELETE_BROADCAST_MAX_BYTES:
             committed_keys = F.broadcast(committed_keys)
 
         # exact accounting scan: only the key + partition columns are read
@@ -684,8 +717,9 @@ class SnapshotCatalog:
             # it's the default — but the accumulated key union grows with
             # every takedown, so past the size bound fall back to a plain
             # anti-join (one shuffle) rather than blow executor memory on
-            # an unbounded broadcast.
-            if _dir_bytes(*dirs) <= _DELETE_BROADCAST_MAX_BYTES:
+            # an unbounded broadcast. Gated on the estimated IN-MEMORY
+            # size (footer uncompressed stats), not at-rest snappy bytes.
+            if _broadcast_estimate_bytes(*dirs) <= _DELETE_BROADCAST_MAX_BYTES:
                 keys = F.broadcast(keys)
             df = df.join(keys, list(cols), "left_anti")
         return df

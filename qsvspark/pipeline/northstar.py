@@ -285,6 +285,7 @@ def decontaminate_stage(
     n: int = 8,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Drop token sequences that share any exact token n-gram with a
     held-out benchmark set — the token-level analogue of
@@ -302,17 +303,31 @@ def decontaminate_stage(
     anti-join back on ``id_col``; AQE sizes that join at runtime — the
     matched set is contamination-sized (tiny in any realistic corpus),
     so it resolves to a broadcast anti-join and corpus rows never
-    shuffle. No driver collect anywhere; the benchmark side is bounded
-    by Spark's own broadcast limits, and a benchmark too big to
-    broadcast degrades to a shuffled semi-join instead of failing.
+    shuffle. No driver collect anywhere.
+
+    The broadcast hint is SIZE-GUARDED: Spark honors an explicit hint
+    regardless of size, so an unconditional F.broadcast on an oversized
+    benchmark would hit the 8 GB broadcast hard cap / driver OOM. A
+    cheap count over the (small-side) gram set estimates the in-memory
+    relation (8-byte hashes + per-row overhead); past
+    ``max_broadcast_bytes`` (default
+    functions/text.py:BENCH_BROADCAST_MAX_BYTES) the hint is dropped
+    and the semi-join runs shuffled — slower, never fatal.
     """
+    from qsvspark.functions.text import BENCH_BROADCAST_MAX_BYTES, broadcast_if_small
+
     bench_grams = (
         benchmark.select(F.explode(token_ngram_hashes(tokens_col, n)).alias("__g"))
         .distinct()
     )
+    bench_side = broadcast_if_small(
+        bench_grams,
+        8,  # fixed-width long hashes
+        BENCH_BROADCAST_MAX_BYTES if max_broadcast_bytes is None else max_broadcast_bytes,
+    )
     matched = (
         df.select(id_col, F.explode(token_ngram_hashes(tokens_col, n)).alias("__g"))
-        .join(F.broadcast(bench_grams), "__g", "left_semi")
+        .join(bench_side, "__g", "left_semi")
         .select(id_col)
         .distinct()
     )
@@ -1004,7 +1019,13 @@ class NorthStarPipeline:
             cluster_by=cluster_by if cluster_by is not None else self.route_cluster_by,
         )
 
-    def pack_sinks(self, seq_len: int = 2048) -> dict | None:
+    def pack_sinks(
+        self,
+        seq_len: int = 2048,
+        oversized: str = "own",
+        materialize: bool = False,
+        pad_id: int | None = 0,
+    ) -> dict | None:
         """Lay the routed table out as fixed-length training sequences —
         the step that turns routed pre-tokenized documents into the
         corpus's sequence table (the north-star deliverable). Greedy
@@ -1014,37 +1035,78 @@ class NorthStarPipeline:
         any shuffle because cross-shard sequence order is irrelevant for
         training layout.
 
-        Writes a ``packed`` table (doc_id, n_tok, sink, seq_id,
-        seq_fill, oversized), partitioned by sink, fingerprinted on the
-        routed lineage + seq_len — rerun after more increments re-packs
-        only because the routed fingerprint chain changed; a crash
-        before commit leaves no partial state (snapshot write is
-        atomic-by-rename). Returns the manifest, or None when already
-        committed (resume)."""
-        from qsvspark.functions.packing import pack_greedy
+        Writes a ``packed`` layout table (doc_id, n_tok, sink, seq_id,
+        seq_fill, oversized, part_start, part_len), partitioned by sink,
+        fingerprinted on the routed lineage + seq_len + policy — rerun
+        after more increments re-packs only because the routed
+        fingerprint chain changed; a crash before commit leaves no
+        partial state (snapshot write is atomic-by-rename).
+
+        ``oversized``: policy for docs longer than seq_len — "own"
+        (flagged solo sequence), "split" (boundary-cut chunks, zero
+        waste), "truncate" (see pack_greedy).
+
+        ``materialize=True`` additionally writes the ``sequences``
+        table — one row per sequence with the PHYSICAL token array
+        (seq_id, sink, tokens, n_docs, n_tokens, pad), every doc's
+        tokens flattened in seq_fill order and right-padded with
+        ``pad_id`` to exactly seq_len (pad_id=None skips padding). This
+        is the table a training loader consumes; per-row token-array
+        equality against the routed docs is pinned in
+        tests/test_packing.py.
+
+        Returns {"layout": manifest, "sequences": manifest-or-None}
+        merged into the layout manifest dict for backward compatibility,
+        or None when everything is already committed (resume)."""
+        from qsvspark.functions.packing import (
+            materialize_greedy_sequences,
+            pack_greedy,
+        )
 
         snap = self.catalog.current_snapshot("routed")
         if snap is None:
             raise ValueError("pack_sinks needs a committed routed table")
         man = self.catalog.manifest("routed", snap) or {}
         routed_fp = man.get("input_fingerprint") or snap
-        pack_fp = f"{routed_fp}|pack|seq_len={seq_len}"
-        if self.catalog.find_committed("packed", pack_fp):
-            return None
-        src = self.routed()
-        if self.quarantine:
-            src = src.where(F.col("sink") != QUARANTINE_SINK)
-        packed = pack_greedy(
-            src, "n_tok", "doc_id", seq_len, group_cols=["sink"]
-        )
-        return self.catalog.write(
-            packed,
-            "packed",
-            input_fingerprint=pack_fp,
-            lineage={"stages": ["pack"], "inputs": [routed_fp]},
-            partition_by="sink",
-            count_by="sink",
-        )
+        policy_tag = "" if oversized == "own" else f"|ov={oversized}"
+        pack_fp = f"{routed_fp}|pack|seq_len={seq_len}{policy_tag}"
+        layout_manifest = None
+        if not self.catalog.find_committed("packed", pack_fp):
+            src = self.routed()
+            if self.quarantine:
+                src = src.where(F.col("sink") != QUARANTINE_SINK)
+            packed = pack_greedy(
+                src, "n_tok", "doc_id", seq_len, group_cols=["sink"],
+                oversized=oversized,
+            )
+            layout_manifest = self.catalog.write(
+                packed,
+                "packed",
+                input_fingerprint=pack_fp,
+                lineage={"stages": ["pack"], "inputs": [routed_fp]},
+                partition_by="sink",
+                count_by="sink",
+            )
+        if materialize:
+            seq_fp = f"{pack_fp}|sequences|pad={pad_id}"
+            if not self.catalog.find_committed("sequences", seq_fp):
+                docs = self.routed().select("doc_id", "tokens")
+                layout = self.catalog.read(self.spark, "packed")
+                seqs = materialize_greedy_sequences(
+                    layout, docs, seq_len,
+                    keep_cols=["sink"], pad_id=pad_id,
+                )
+                seq_manifest = self.catalog.write(
+                    seqs,
+                    "sequences",
+                    input_fingerprint=seq_fp,
+                    lineage={"stages": ["materialize"], "inputs": [pack_fp]},
+                    partition_by="sink",
+                    count_by="sink",
+                )
+                layout_manifest = dict(layout_manifest or {})
+                layout_manifest["sequences"] = seq_manifest
+        return layout_manifest
 
     # -- results ------------------------------------------------------
 

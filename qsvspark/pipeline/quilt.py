@@ -247,9 +247,14 @@ class Quilt:
                         bucket_col=params.get("bucket_col"),
                     )
                 elif mode == "greedy":
+                    # group_cols: the sink-grouped layout ("a sequence
+                    # never spans two sinks") expressed from YAML —
+                    # same plumbing pack_sinks uses programmatically
                     df = pack_greedy(
                         base, n_tok, idc, seq_len,
                         num_partitions=params.get("num_partitions"),
+                        group_cols=params.get("group_cols"),
+                        oversized=params.get("oversized", "own"),
                     )
                 else:
                     raise InvalidArgumentError(

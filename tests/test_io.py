@@ -958,6 +958,37 @@ class TestCatalogModelBased:
         run()
 
 
+class TestBroadcastEstimate:
+    def test_footer_estimate_beats_at_rest_bytes_on_compressible_keys(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4: the broadcast bound must gate on estimated
+        IN-MEMORY size — snappy parquet of highly compressible keys
+        understates the decompressed broadcast relation by 10x+."""
+        from qsvspark.io.snapshot import _broadcast_estimate_bytes, _dir_bytes
+
+        d = str(tmp_path / "keys")
+        # one repeated 200-char string: tiny at rest, big in memory
+        spark.range(0, 20000).select(
+            F.concat(F.lit("k" * 200), (F.col("id") % 3).cast("string")).alias("k")
+        ).coalesce(1).write.parquet(d)
+        at_rest = _dir_bytes(d)
+        est = _broadcast_estimate_bytes(d)
+        # dictionary-encoded snappy crushes this to ~2 KB at rest; the
+        # footer estimate (uncompressed chunk stats + 32 B/row hash
+        # -relation overhead) lands ~300x higher — a floor, not an exact
+        # decoded size (dictionary decode widens it further), but enough
+        # to catch the compressible-keys hazard the at-rest gate missed
+        assert est > 100 * at_rest
+        assert est >= 20000 * 32  # the per-row overhead alone
+
+    def test_estimate_falls_back_on_unreadable_dir(self, tmp_path):
+        from qsvspark.io.snapshot import _broadcast_estimate_bytes
+
+        # empty/missing dir: estimate is 0-ish, never raises
+        assert _broadcast_estimate_bytes(str(tmp_path / "nope")) >= 0
+
+
 class TestManyDeletesOneJoin:
     def test_multiple_delete_commits_fold_into_one_anti_join(self, spark, tmp_path):
         """N delete snapshots on the same key columns cost a chain

@@ -360,6 +360,37 @@ stages:
         assert sorted(r["col2"] for r in out) == [2, 5, 8]
         assert all(r["oversized"] == 0 for r in out)
 
+    def test_pack_stage_greedy_group_cols_and_oversized(self, spark, fixture_dir):
+        # ADVICE r4: the sink-grouped layout + oversized policy must be
+        # expressible from a YAML DAG, same plumbing pack_sinks uses
+        p = write_yaml(fixture_dir, """
+title: PackGrouped
+stages:
+  a:
+    type: process
+    steps:
+      load: {path: "simple.csv"}
+  packed:
+    type: pack
+    source: a
+    params: {seq_len: 5, n_tok_col: col1, id_col: col2, mode: greedy,
+             num_partitions: 1, group_cols: [str], oversized: split}
+""")
+        out = Quilt(spark).run_file(p).collect()
+        # col1 = 1,4,7 with groups foo/bar/baz: each doc packs alone in
+        # its group; the 7-token doc (> seq_len 5) splits into 5+2
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r["col2"], []).append(r)
+        assert len(by_doc[8]) == 2  # split oversized doc
+        parts = sorted((r["part_start"], r["part_len"]) for r in by_doc[8])
+        assert parts == [(0, 5), (5, 2)]
+        # group purity: no sequence mixes str values
+        seq_groups: dict = {}
+        for r in out:
+            seq_groups.setdefault(r["seq_id"], set()).add(r["str"])
+        assert all(len(g) == 1 for g in seq_groups.values())
+
     def test_pack_stage_needs_source(self, spark, fixture_dir):
         p = write_yaml(fixture_dir, """
 stages:
