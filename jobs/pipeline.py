@@ -89,6 +89,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="after the run, lay the routed table out as "
                          "fixed-length training sequences (greedy no-split "
                          "packing per sink) into a 'packed' table")
+    ap.add_argument("--pack-oversized", default="own",
+                    choices=["own", "split", "truncate"],
+                    help="policy for docs longer than SEQ_LEN: 'own' flags a "
+                         "solo sequence, 'split' cuts at sequence boundaries "
+                         "(zero padding waste), 'truncate' keeps the first "
+                         "SEQ_LEN tokens")
+    ap.add_argument("--materialize-sequences", action="store_true",
+                    help="with --pack-sinks: additionally write the physical "
+                         "'sequences' table (seq_id, sink, tokens, n_docs, "
+                         "n_tokens, pad) — docs flattened in layout order and "
+                         "padded to exactly SEQ_LEN; the table a training "
+                         "loader consumes")
+    ap.add_argument("--pad-id", type=int, default=0,
+                    help="pad token id for --materialize-sequences")
     ap.add_argument("--increment", action="store_true",
                     help="append-only increment: route ONLY this input and "
                          "chain it onto the committed routed table; "
@@ -176,11 +190,21 @@ def main(argv: list[str] | None = None) -> int:
             if m else "already-compact"
         )
     if args.pack_sinks:
-        m = pipe.pack_sinks(seq_len=args.pack_sinks)
+        m = pipe.pack_sinks(
+            seq_len=args.pack_sinks,
+            oversized=args.pack_oversized,
+            materialize=args.materialize_sequences,
+            pad_id=args.pad_id,
+        )
         metrics["packed"] = (
-            {"snapshot": m["snapshot"], "rows": m.get("row_count")}
+            {"snapshot": m.get("snapshot"), "rows": m.get("row_count")}
             if m else "already-packed"
         )
+        if m and m.get("sequences"):
+            metrics["sequences"] = {
+                "snapshot": m["sequences"]["snapshot"],
+                "rows": m["sequences"].get("row_count"),
+            }
     print(json.dumps(metrics))
     spark.stop()
     return 0

@@ -37,6 +37,10 @@ def norm(v):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracles (IVF centroids are trained from the
+    # embeddings table) must bake constants from the SAME sf as the
+    # Spark side — the driver's gate runs at the sf0.01 default
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = get_spark("oracle-check", parallelism=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
