@@ -1172,9 +1172,18 @@ def main() -> None:
         import pandas as _wpd
         from pyspark.sql.functions import pandas_udf as _wpudf
 
-        @_wpudf("double")
-        def _warm_udf(s: _wpd.Series) -> _wpd.Series:
+        # real annotation OBJECTS, not `s: _wpd.Series` hints: this
+        # module has `from __future__ import annotations`, which turns
+        # hints into strings that pandas_udf's get_type_hints cannot
+        # resolve (the alias lives in main()'s locals, not module
+        # globals) — the warmup silently failed UNSUPPORTED_SIGNATURE in
+        # every round until r5, charging first-use JVM costs to the
+        # first queries' cold numbers
+        def _warm_fn(s):
             return s * 1.0
+
+        _warm_fn.__annotations__ = {"s": _wpd.Series, "return": _wpd.Series}
+        _warm_udf = _wpudf(_warm_fn, "double")
 
         warm = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         warm = warm.limit(20000).withColumn("__w", _warm_udf(warm["value"]))
