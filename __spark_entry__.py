@@ -427,6 +427,56 @@ def q_text_repetition(spark, sf):
     )
 
 
+def q_line_dups(spark, sf):
+    # Gopher duplicate-line signals. The fixture docs are single-line, so
+    # the query synthesizes deterministic multi-line text (newline after
+    # every 5th word) and injects a guaranteed duplicate line — a repeat
+    # of the first line — on every third doc; both engines build the
+    # identical string, so the value hash pins the whole signal chain.
+    from qsvspark.functions import add_line_dup_signals
+
+    docs = _t(spark, sf, "documents")
+    mt = F.regexp_replace(F.col("text"), r"((?:\S+\s+){4}\S+)\s+", "$1\n")
+    withdup = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(mt, F.lit("\n"), F.substring_index(mt, "\n", 1)),
+    ).otherwise(mt)
+    return add_line_dup_signals(
+        docs.select("doc_id", withdup.alias("mtext")), "mtext"
+    ).select(
+        "doc_id", "total_lines", "distinct_lines", "dup_line_chars",
+        "dup_line_frac", "dup_line_char_frac",
+    )
+
+
+def q_vocab_topk(spark, sf):
+    # corpus vocabulary head: partial-aggregated token histogram +
+    # TakeOrderedAndProject; ties broken by token so the cut is stable
+    from qsvspark.functions import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=20)
+
+
+def q_span_pairs(spark, sf):
+    # exact duplicated-span pairs (Lee et al. exact-substring flavor):
+    # distinct shared 5-word spans per doc pair, boilerplate grams
+    # capped at doc-frequency 50 before pair expansion
+    from qsvspark.functions import shared_span_pairs
+
+    return shared_span_pairs(_t(spark, sf, "documents"), k=5, max_df=50)
+
+
+def q_semdedup(spark, sf):
+    # SemDeDup: within-cluster cosine >= 0.45 drops the higher id; the
+    # cluster assignment reuses the deterministic IVF centroids so the
+    # generated oracle embeds identical literals
+    from qsvspark.functions import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), _ivf_centroids(sf), threshold=0.45
+    )
+
+
 def q_dedup_exact(spark, sf):
     from qsvspark.functions import dedup_exact
 
@@ -765,6 +815,30 @@ def _ivf_oracle(k: int = 10) -> str:
     )
 
 
+def _semdedup_oracle(threshold: float = 0.45) -> str:
+    """DuckDB replica of semantic_dedup over the same baked centroid
+    literals as the IVF oracle: 1-based list_indexof argmax → 0-based
+    cluster, within-cluster lower-id round-6 cosine >= threshold drops
+    the higher id."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids(sf_dir)
+    c_sql = ["[" + ", ".join(repr(v) for v in c) + "]::FLOAT[]" for c in cents]
+    sims = "[" + ", ".join(
+        f"round(list_cosine_similarity(embedding, {c}), 6)" for c in c_sql
+    ) + "]"
+    return (
+        f"WITH assigned AS (SELECT vec_id, embedding,"
+        f" CAST(list_indexof({sims}, list_aggregate({sims}, 'max')) - 1 AS INT)"
+        f" AS cluster FROM embeddings),"
+        f" dropped AS (SELECT DISTINCT b.vec_id FROM assigned a"
+        f" JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id"
+        f" WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)"
+        f" >= {threshold})"
+        f" SELECT vec_id, cluster,"
+        f" vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assigned"
+    )
+
+
 def q_pipeline_parse(spark, sf):
     """North-star parse stage (Arrow-vectorized grok UDF) over a
     documents-derived tokens table; tokens serialized to a string so the
@@ -873,18 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isin_string": q_isin_string,
         "isin_numeric": q_isin_numeric,
         "contains": q_contains,
-        "contains_ci": q_contains_ci,
         "grep": q_grep,
-        "grep_invert": q_grep_invert,
         "sed": q_sed,
         "sort_head": q_sort_head,
         "tail": q_tail,
         "uniq": q_uniq,
         "count": q_count,
         "pivot": q_pivot,
-        "pivot_mean": q_pivot_mean,
         "timeline": q_timeline,
-        "timeline_sum": q_timeline_sum,
         "timeslice": q_timeslice,
         "timeround": q_timeround,
         "changetz": q_changetz,
@@ -897,7 +967,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: isin_empty (pinned by tests/test_ops_core.py
         # test_empty_values_empty_result; isin_string/isin_numeric stay
         # oracle-checked) made room for pack_sequences — the
-        # materialized sequence table, full value oracle.
+        # materialized sequence table, full value oracle. Later in r5,
+        # contains_ci / grep_invert / pivot_mean / timeline_sum (each a
+        # flag/aggregator variant of a still-oracle-checked base op,
+        # pinned by tests/test_functions.py
+        # TestRetiredRegistryVariants) made room for line_dups /
+        # vocab_topk / span_pairs / semdedup — four new training-data
+        # operators, each with a full value oracle.
         "pipeline_quarantine": q_pipeline_quarantine,
         "pack_sequences": q_pack_sequences,
         "join": q_join,
@@ -917,6 +993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1/r2 CORRECTNESS artifacts — VERDICT r2 "what's wrong" #2)
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "line_dups": q_line_dups,
+        "vocab_topk": q_vocab_topk,
+        "span_pairs": q_span_pairs,
+        "semdedup": q_semdedup,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -947,21 +1027,13 @@ def oracle_sql() -> dict[str, str]:
         "contains": (
             "SELECT doc_id, source FROM documents WHERE contains(text, 'spark')"
         ),
-        "contains_ci": (
-            "SELECT c_custkey, c_mktsegment FROM customer "
-            "WHERE regexp_matches(c_mktsegment, 'AUTO', 'i')"
-        ),
+        # (r5) contains_ci / grep_invert / pivot_mean / timeline_sum
+        # oracles retired with their registry slots — see queries().
         "grep": (
             "SELECT * FROM nation WHERE "
             "coalesce(regexp_matches(CAST(n_nationkey AS VARCHAR), '1$'), false) OR "
             "coalesce(regexp_matches(n_name, '1$'), false) OR "
             "coalesce(regexp_matches(CAST(n_regionkey AS VARCHAR), '1$'), false)"
-        ),
-        "grep_invert": (
-            "SELECT * FROM nation WHERE NOT ("
-            "coalesce(regexp_matches(CAST(n_nationkey AS VARCHAR), '1'), false) OR "
-            "coalesce(regexp_matches(n_name, '1'), false) OR "
-            "coalesce(regexp_matches(CAST(n_regionkey AS VARCHAR), '1'), false))"
         ),
         "sed": (
             "SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS c_name "
@@ -984,19 +1056,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents_sum "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        "pivot_mean": (
-            "SELECT l_returnflag, l_linestatus, ROUND(AVG(l_quantity), 4) AS qty_mean "
-            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
-        ),
         "timeline": (
             "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') "
             'AS timeline_1h, COUNT(*) AS "count" FROM events GROUP BY 1'
-        ),
-        "timeline_sum": (
-            "SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') "
-            'AS timeline_1d, COUNT(*) AS "count", '
-            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
-            "FROM events GROUP BY 1"
         ),
         "timeslice": (
             "SELECT event_id, event_type FROM events "
@@ -1242,6 +1304,59 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT MIN(doc_id) AS doc_id FROM documents"
             r" GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
         ),
+        # line_dups synthesizes the identical multi-line string in both
+        # engines (newline after every 5th word; doc_id%3==0 repeats the
+        # first line), then replicates add_line_dup_signals with list ops
+        "line_dups": (
+            r"WITH m AS (SELECT doc_id, regexp_replace(text,"
+            r" '((?:\S+\s+){4}\S+)\s+', '\1' || chr(10), 'g') AS mt"
+            r" FROM documents),"
+            r" s AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0"
+            r" THEN mt || chr(10) || string_split(mt, chr(10))[1]"
+            r" ELSE mt END AS t FROM m),"
+            r" l AS (SELECT doc_id, list_filter(list_transform("
+            r" string_split(t, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls"
+            r" FROM s),"
+            r" c AS (SELECT doc_id,"
+            r" CAST(len(ls) AS BIGINT) AS total_lines,"
+            r" CAST(len(list_distinct(ls)) AS BIGINT) AS distinct_lines,"
+            r" CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0)"
+            r" AS BIGINT) AS all_chars,"
+            r" CAST(coalesce(list_sum(list_transform(list_distinct(ls),"
+            r" x -> len(x))), 0) AS BIGINT) AS distinct_chars FROM l)"
+            r" SELECT doc_id, total_lines, distinct_lines,"
+            r" all_chars - distinct_chars AS dup_line_chars,"
+            r" round(CASE WHEN total_lines > 0 THEN"
+            r" (total_lines - distinct_lines) / total_lines ELSE 0.0 END, 6)"
+            r" AS dup_line_frac,"
+            r" round(CASE WHEN all_chars > 0 THEN"
+            r" (all_chars - distinct_chars) / all_chars ELSE 0.0 END, 6)"
+            r" AS dup_line_char_frac FROM c"
+        ),
+        "vocab_topk": (
+            r"SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM"
+            r" (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t"
+            r" FROM documents)"
+            r" GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
+        ),
+        # span_pairs counts the gram STRINGS the Spark side counts as
+        # xxhash64 lanes — a cross-doc hash collision would surface here
+        # as a value mismatch (accepted ~2^-64 bound)
+        "span_pairs": (
+            r"WITH w AS (SELECT doc_id,"
+            r" string_split_regex(trim(lower(text)), '\s+') AS ws"
+            r" FROM documents),"
+            r" g AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            r" generate_series(1, len(ws) - 4),"
+            r" i -> array_to_string(ws[i:i+4], ' '))) AS gram FROM w),"
+            r" keep AS (SELECT doc_id, gram FROM g QUALIFY"
+            r" count(*) OVER (PARTITION BY gram) BETWEEN 2 AND 50)"
+            r" SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            r" CAST(count(*) AS BIGINT) AS n_spans"
+            r" FROM keep a JOIN keep b"
+            r" ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2"
+        ),
+        "semdedup": _semdedup_oracle(),
         "ngram_jaccard": (
             r"WITH g AS (SELECT doc_id, list_distinct(list_transform("
             r" range(0, greatest(len(w) - 3, 0) + 1),"

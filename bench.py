@@ -116,6 +116,9 @@ EXTENSIONS = [
     "seq_pack", "contamination", "pii_scrub", "text_repetition",
     # r5: the materialized training-sequence table (full value oracle)
     "pack_sequences",
+    # r5 wave 2: line-dup signals, vocabulary head, exact span pairs,
+    # SemDeDup-style semantic dedup
+    "line_dups", "vocab_topk", "span_pairs", "semdedup",
 ]
 
 # skew stress: salted vs unsalted on a deliberately hot key (50% of rows
@@ -1139,7 +1142,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("qsvspark-bench", parallelism=CPUS, shuffle_partitions=CPUS)
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # registry-retired variants (e.g. timeline_sum, rotated out of the
+    # 50-slot driver budget) keep their module-level q_<name> functions —
+    # resolve them so the 15-query headline total stays comparable to
+    # every earlier round's artifact
+    for _section_names in (HEADLINE, EXTENSIONS):
+        for _n in _section_names:
+            if _n not in qs and hasattr(entrymod, f"q_{_n}"):
+                qs[_n] = getattr(entrymod, f"q_{_n}")
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     ext_timings: dict[str, float] = {}

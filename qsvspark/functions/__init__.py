@@ -6,11 +6,13 @@ only in Arrow-batched mapInPandas for the multimodal feature extraction."""
 from qsvspark.functions.text import (
     add_fingerprint,
     add_lang_id,
+    add_line_dup_signals,
     add_quality,
     add_repetition_signals,
     add_token_counts,
     contamination,
     scrub_pii,
+    vocab_topk,
     word_ngrams,
 )
 from qsvspark.functions.packing import (
@@ -26,6 +28,7 @@ from qsvspark.functions.dedup import (
     embedding_near_dups_lsh,
     minhash_lsh_pairs,
     ngram_jaccard,
+    shared_span_pairs,
     simhash,
 )
 from qsvspark.functions.similarity import (
@@ -34,6 +37,7 @@ from qsvspark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_ann_topk,
+    semantic_dedup,
     train_ivf_centroids,
 )
 
@@ -44,6 +48,7 @@ __all__ = [
     "brute_force_topk", "lsh_ann_topk", "AnnIndex",
     "ivf_topk", "train_ivf_centroids", "IvfIndex",
     "add_repetition_signals", "contamination", "scrub_pii", "word_ngrams",
+    "add_line_dup_signals", "vocab_topk", "shared_span_pairs", "semantic_dedup",
     "pack_chunked", "pack_greedy", "pack_stats",
     "materialize_chunked_sequences", "materialize_greedy_sequences",
 ]

@@ -366,6 +366,76 @@ def ngram_jaccard(
 
 # --- embedding cosine near-dup -----------------------------------------
 
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 100,
+    lower: bool = True,
+) -> DataFrame:
+    """EXACT duplicated-span detection: pairs of documents sharing at
+    least one identical k-word span, with the count of distinct shared
+    spans — the deterministic complement to MinHash (which approximates
+    whole-document Jaccard and can miss a verbatim paragraph pasted into
+    an otherwise-unrelated page). This is the n-gram-bucket flavor of
+    Lee et al. 2022's exact-substring dedup ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as one Spark
+    aggregation instead of a suffix array.
+
+    Returns ``(id_a, id_b, n_spans)`` with id_a < id_b; ``n_spans``
+    counts DISTINCT shared k-grams.
+
+    Scale shape — one shuffle, bounded fan-out:
+
+    * each doc's distinct k-grams are hashed to longs (xxhash64) before
+      the exchange, so shuffle rows are (long, id) instead of k-word
+      strings — ~10× fewer bytes at k=8;
+    * grams group once; each group's sorted member list expands to i<j
+      pairs as an expression (same group-then-expand as
+      minhash_lsh_pairs — a self-join would shuffle the grams twice);
+    * ``max_df`` drops grams appearing in more docs than the cap BEFORE
+      pair expansion: boilerplate (headers, licenses) otherwise yields
+      O(df²) pairs per gram — the classic skew bomb at web scale. The
+      cap is the same bounded-skip contract as minhash's
+      max_bucket_size; capped grams are by construction template text,
+      not meaningful overlap.
+
+    A cross-document xxhash64 collision could merge two unrelated grams
+    (~2^-64 per gram pair) — the same accepted bound as every other
+    hash lane here; the DuckDB oracle counts the gram strings
+    themselves, so the driver check would surface a collision as a
+    value mismatch."""
+    from qsvspark.functions.text import word_ngrams
+
+    staged = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), k, lower=lower))
+        ).alias("__g"),
+    ).select(F.col(id_col), F.xxhash64("__g").alias("__h"))
+    groups = staged.groupBy("__h").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    groups = groups.filter(
+        (F.size("__ids") >= 2) & (F.size("__ids") <= max_df)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),

@@ -258,6 +258,62 @@ def ivf_topk(
     return _rerank_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, compare pairs only WITHIN a cluster, and drop
+    every vector that has a lower-id cluster-mate with cosine ≥
+    threshold (round-6, the cross-engine comparison rule used
+    everywhere here). Keep-lowest-id is the deterministic stand-in for
+    the paper's keep-farthest-from-centroid — same dedup power, stable
+    under reruns and reproducible in the value oracle.
+
+    Returns every input row as ``(id_col, cluster, kept)``.
+
+    Scale shape: assignment is the codegen'd argmax over the centroid
+    literals (one scan); the pair comparison is a self-join keyed on
+    the cluster id, so each cluster's O(|c|²) cosine work happens
+    inside its own partition group and NO cross-cluster pair is ever
+    materialized. That bound is the whole point of SemDeDup: k grows
+    with the corpus (the paper uses 50k clusters for LAION) so |c|
+    stays small and the quadratic term is per-cluster, not global. At
+    fixed k the largest cluster is the skew ceiling — size k to the
+    corpus, or pre-split hot clusters, before scaling up."""
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign_expr(vec_col, centroids).alias("cluster"),
+    )
+    a = assigned.select(
+        "cluster", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "cluster", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 class IvfIndex:
     """Build-once persistent IVF index: every vector's nearest-centroid
     id is computed once and stored in a SnapshotCatalog table PARTITIONED

@@ -236,6 +236,78 @@ def scrub_pii(col: Column) -> Column:
     return out
 
 
+def add_line_dup_signals(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style duplicate-LINE quality signals, per document
+    (Rae et al. 2021 §A1.1 filters on "fraction of duplicate lines" and
+    "fraction of characters in duplicate lines"). Complements
+    add_repetition_signals (word/bigram modes) with the line axis.
+
+    Lines are ``sep``-separated, trimmed, empties dropped. Emitted:
+
+    * ``total_lines`` / ``distinct_lines`` — longs,
+    * ``dup_line_chars`` — characters in repeated occurrences beyond
+      each line's first (sum of lengths over all lines minus over the
+      distinct set),
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — round-6 doubles.
+
+    Row-local codegen: split/filter/array_distinct plus two aggregate
+    folds — no explode, no shuffle; at 100 TB this runs at scan speed
+    alongside the other quality columns."""
+    raw = F.split(F.col(text_col), sep)
+    # the lambda must be explicitly unary: F.transform feeds (element,
+    # index) to a two-parameter callable, and F.trim's optional second
+    # parameter is the trim-character set — the index would silently
+    # become characters to strip
+    lines = F.filter(
+        F.transform(raw, lambda l: F.trim(l)), lambda l: F.length(l) > 0
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    total = F.size(lines).cast("long")
+    distinct = F.size(F.array_distinct(lines)).cast("long")
+    all_chars = chars(lines)
+    dup_chars = all_chars - chars(F.array_distinct(lines))
+    return df.withColumns(
+        {
+            "total_lines": total,
+            "distinct_lines": distinct,
+            "dup_line_chars": dup_chars,
+            "dup_line_frac": F.round(
+                F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0)), 6
+            ),
+            "dup_line_char_frac": F.round(
+                F.when(all_chars > 0, dup_chars / all_chars).otherwise(F.lit(0.0)), 6
+            ),
+        }
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text", lower: bool = True
+) -> DataFrame:
+    """Corpus-level vocabulary head: the k most frequent whitespace
+    tokens as ``(token, cnt)``, ties broken by token ascending so the
+    cut is deterministic across engines and runs.
+
+    Scale shape: explode feeds a hash aggregate that partially combines
+    map-side (the per-partition token histogram is vocabulary-sized,
+    not corpus-sized — Zipf keeps it tiny relative to the scan), so the
+    only full rows crossing the wire are per-partition (token, count)
+    partials; the final top-k is TakeOrderedAndProject, never a global
+    sort."""
+    words = _ws_tokens(F.lower(F.col(text_col)) if lower else F.col(text_col))
+    return (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals, per document, all
     integers (hash-stable across engines):

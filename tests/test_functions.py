@@ -400,3 +400,127 @@ class TestRetiredRegistryVariants:
         std = {tuple(r)[:2]: r["qty_std"] for r in e.q_pivot_std(spark, sf).collect()}
         assert set(med) == set(std) and len(med) >= 3
         assert all(v is None or v >= 0 for v in std.values())
+
+    def test_r5_retired_variants_still_run(self, spark):
+        """contains_ci / grep_invert / pivot_mean / timeline_sum rotated
+        out of the 50-slot registry for line_dups / vocab_topk /
+        span_pairs / semdedup; their base operators stay oracle-checked
+        and the variants stay exercised here."""
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        ci = e.q_contains_ci(spark, sf)
+        assert ci.count() > 0  # AUTOMOBILE segment matches 'AUTO' case-insensitively
+        inv = e.q_grep_invert(spark, sf)
+        grep = e.q_grep(spark, sf)
+        # invert selects the complement regex family on the same table
+        assert inv.count() > 0 and grep.count() > 0
+        pm = {tuple(r)[:2]: r["qty_mean"] for r in e.q_pivot_mean(spark, sf).collect()}
+        assert len(pm) >= 3 and all(v > 0 for v in pm.values())
+        ts = e.q_timeline_sum(spark, sf)
+        assert ts.count() > 0 and "sum_cents" in ts.columns
+
+
+class TestLineDups:
+    def test_signals(self, spark):
+        from qsvspark.functions import add_line_dup_signals
+
+        rows = [
+            (0, "a b\na b\nc d"),          # one dup line (3 chars repeated)
+            (1, "x\n x \nx"),              # trims collapse all three to 'x'
+            (2, "unique one\nunique two"),
+            (3, "  \n\n  "),               # whitespace-only → zero lines
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in add_line_dup_signals(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert (out[0]["total_lines"], out[0]["distinct_lines"]) == (3, 2)
+        assert out[0]["dup_line_chars"] == 3  # second 'a b'
+        assert out[0]["dup_line_frac"] == round(1 / 3, 6)
+        assert (out[1]["total_lines"], out[1]["distinct_lines"]) == (3, 1)
+        assert out[1]["dup_line_chars"] == 2
+        assert out[2]["dup_line_chars"] == 0 and out[2]["dup_line_frac"] == 0.0
+        assert out[3]["total_lines"] == 0 and out[3]["dup_line_char_frac"] == 0.0
+
+
+class TestVocabTopk:
+    def test_topk_deterministic_ties(self, spark):
+        from qsvspark.functions import vocab_topk
+
+        df = spark.createDataFrame(
+            [(0, "b a a c"), (1, "B c d")], ["doc_id", "text"]
+        )
+        got = [(r["token"], r["cnt"]) for r in vocab_topk(df, k=3).collect()]
+        # a=2, b=2 (case-folded), c=2, d=1 — ties break token-ascending
+        assert got == [("a", 2), ("b", 2), ("c", 2)]
+
+
+class TestSpanPairs:
+    def test_shared_spans_and_max_df_cap(self, spark):
+        from qsvspark.functions import shared_span_pairs
+
+        boiler = "this license text is common to every single document here"
+        rows = [
+            (0, boiler + " alpha beta gamma delta epsilon zeta"),
+            (1, boiler + " alpha beta gamma delta epsilon eta"),
+            (2, boiler + " totally different tail content here now"),
+            (3, "unrelated text with no overlap at all whatsoever truly"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # k=5: docs 0/1 share the boilerplate spans AND 'alpha beta gamma
+        # delta epsilon'; doc 2 shares only boilerplate spans
+        out = {
+            (r["id_a"], r["id_b"]): r["n_spans"]
+            for r in shared_span_pairs(df, k=5, max_df=10).collect()
+        }
+        assert (0, 1) in out and (0, 2) in out and (1, 2) in out
+        assert all((3 not in p) for p in out)
+        assert out[(0, 1)] > out[(0, 2)]  # extra non-boiler span
+        # max_df=2 drops every gram present in all three boiler docs;
+        # only the 0/1-exclusive spans survive
+        capped = {
+            (r["id_a"], r["id_b"]): r["n_spans"]
+            for r in shared_span_pairs(df, k=5, max_df=2).collect()
+        }
+        assert set(capped) == {(0, 1)}
+        assert capped[(0, 1)] == out[(0, 1)] - out[(0, 2)]
+
+
+class TestSemanticDedup:
+    def test_keep_lowest_id_within_cluster(self, spark):
+        from qsvspark.functions import semantic_dedup
+
+        # two orthogonal clusters; vec 1 duplicates vec 0, vec 3
+        # duplicates vec 2 (slightly perturbed), vec 4 is alone
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.995, 0.02]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        out = {r["vec_id"]: r for r in semantic_dedup(df, cents, threshold=0.95).collect()}
+        assert {v: out[v]["kept"] for v in range(5)} == {
+            0: True, 1: False, 2: True, 3: False, 4: True,
+        }
+        assert out[1]["cluster"] == out[0]["cluster"] == 0
+        assert out[3]["cluster"] == out[2]["cluster"] == 1
+
+    def test_cross_cluster_dups_not_compared(self, spark):
+        from qsvspark.functions import semantic_dedup
+
+        # identical vectors that land in DIFFERENT clusters are never
+        # compared — the SemDeDup contract (recall is bounded by the
+        # clustering, in exchange for never materializing global pairs)
+        rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        # degenerate centroids forcing a tie: argmax picks the first for
+        # both rows → same cluster → dup detected
+        same = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99)
+        kept = {r["vec_id"]: r["kept"] for r in same.collect()}
+        assert kept == {0: True, 1: False}
