@@ -21,7 +21,10 @@ delete whose keys come from an earlier stage). Maintenance stages yield
 the post-operation table read, so later process stages consume the
 maintained data like any other source. ``pack`` (r4) lays an earlier
 stage's (id, n_tok) rows out as fixed-length training sequences —
-chunked or greedy mode, see qsvspark.functions.packing.
+chunked or greedy mode, see qsvspark.functions.packing. ``hygiene``
+(r5) stacks row-local quality/repetition/line-dup/lang/token-count
+signal columns and filters on a SQL boolean over them; ``semdedup``
+(r5) runs cluster-local semantic dedup and keeps survivors.
 """
 
 from __future__ import annotations
@@ -259,6 +262,71 @@ class Quilt:
                 else:
                     raise InvalidArgumentError(
                         f"pack mode '{mode}' not supported (chunked|greedy)")
+            elif stype == "hygiene":
+                # corpus-hygiene signals + optional threshold filter (the
+                # Gopher-style quality-filter recipe as one YAML stage):
+                # each named signal family appends its columns, then
+                # 'filter' (a SQL boolean over them) keeps survivors.
+                # All signal families are row-local codegen — the stage
+                # adds zero shuffles regardless of how many are stacked.
+                from qsvspark.functions import (
+                    add_lang_id, add_line_dup_signals, add_quality,
+                    add_repetition_signals, add_token_counts,
+                )
+
+                src = (scfg or {}).get("source") or ""
+                if src not in self.stage_results:
+                    raise InvalidArgumentError(
+                        "hygiene stage needs 'source' (an earlier stage)")
+                params = scfg.get("params") or {}
+                text_col = params.get("text_col", "text")
+                families = {
+                    "quality": lambda d: add_quality(d, text_col),
+                    "repetition": lambda d: add_repetition_signals(d, text_col),
+                    "line_dups": lambda d: add_line_dup_signals(d, text_col),
+                    "lang_id": lambda d: add_lang_id(d, text_col),
+                    "token_counts": lambda d: add_token_counts(d, text_col),
+                }
+                df = self.stage_results[src]
+                for fam in params.get("signals", ["quality"]):
+                    if fam not in families:
+                        raise InvalidArgumentError(
+                            f"unknown hygiene signal family '{fam}' "
+                            f"(expected one of {sorted(families)})")
+                    df = families[fam](df)
+                if params.get("filter"):
+                    df = df.filter(params["filter"])
+            elif stype == "semdedup":
+                # SemDeDup as a DAG stage: deterministic centroid
+                # training + cluster-local dedup; keeps survivors by
+                # default (keep_only: false emits the flag column)
+                from qsvspark.functions import semantic_dedup, train_ivf_centroids
+
+                src = (scfg or {}).get("source") or ""
+                if src not in self.stage_results:
+                    raise InvalidArgumentError(
+                        "semdedup stage needs 'source' (an earlier stage)")
+                params = scfg.get("params") or {}
+                vec_col = params.get("vec_col", "embedding")
+                id_col = params.get("id_col", "vec_id")
+                base = self.stage_results[src]
+                cents = train_ivf_centroids(
+                    base, vec_col, id_col,
+                    n_centroids=int(params.get("n_centroids", 16)),
+                    sample_n=int(params.get("sample_n", 256)),
+                )
+                flags = semantic_dedup(
+                    base, cents,
+                    threshold=float(params.get("threshold", 0.95)),
+                    vec_col=vec_col, id_col=id_col,
+                    method=params.get("method", "blas"),
+                )
+                if params.get("keep_only", True):
+                    df = base.join(
+                        flags.filter("kept").select(id_col), id_col, "left_semi"
+                    )
+                else:
+                    df = flags
             else:
                 raise InvalidArgumentError(f"unknown stage type '{stype}'")
             if consumers.get(name, 0) > 1:

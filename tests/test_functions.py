@@ -511,6 +511,26 @@ class TestSemanticDedup:
         assert out[1]["cluster"] == out[0]["cluster"] == 0
         assert out[3]["cluster"] == out[2]["cluster"] == 1
 
+    def test_blas_matches_expr(self, spark):
+        """The BLAS per-cluster matmul path (the registered/100-TB
+        variant) must produce verdict-identical output to the
+        engine-portable expression path on real embeddings."""
+        from qsvspark.functions import semantic_dedup
+        from qsvspark.functions.similarity import train_ivf_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_ivf_centroids(emb, n_centroids=8, sample_n=128)
+        expr = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(emb, cents, 0.45, method="expr").collect()
+        }
+        blas = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(emb, cents, 0.45, method="blas").collect()
+        }
+        assert expr == blas and len(expr) == emb.count()
+        assert any(not k for (_, _, k) in expr)  # some dups exist
+
     def test_cross_cluster_dups_not_compared(self, spark):
         from qsvspark.functions import semantic_dedup
 

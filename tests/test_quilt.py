@@ -400,3 +400,82 @@ stages:
 """)
         with pytest.raises(InvalidArgumentError, match="source"):
             Quilt(spark).run_file(p)
+
+
+class TestHygieneStage:
+    def test_hygiene_signals_and_filter(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: Hygiene
+stages:
+  docs:
+    type: process
+    steps:
+      load: {path: "/root/testdata/sf0.001/documents.parquet"}
+  clean:
+    type: hygiene
+    source: docs
+    params:
+      signals: [quality, repetition, line_dups]
+      filter: "q_score >= 0.5 AND top_word_count <= total_words"
+""")
+        out = Quilt(spark).run_file(p)
+        cols = set(out.columns)
+        assert {"q_score", "top_word_count", "dup_line_frac"} <= cols
+        n = out.count()
+        assert 0 < n <= 500
+        assert out.filter("q_score < 0.5").count() == 0
+
+    def test_hygiene_unknown_family_errors(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+stages:
+  docs:
+    type: process
+    steps:
+      load: {path: "/root/testdata/sf0.001/documents.parquet"}
+  bad:
+    type: hygiene
+    source: docs
+    params: {signals: [nope]}
+""")
+        with pytest.raises(InvalidArgumentError, match="nope"):
+            Quilt(spark).run_file(p)
+
+
+class TestSemdedupStage:
+    def test_semdedup_keeps_survivors(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+title: SemDedup
+stages:
+  emb:
+    type: process
+    steps:
+      load: {path: "/root/testdata/sf0.001/embeddings.parquet"}
+  deduped:
+    type: semdedup
+    source: emb
+    params: {threshold: 0.45, n_centroids: 8, sample_n: 128}
+""")
+        out = Quilt(spark).run_file(p)
+        total = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").count()
+        kept = out.count()
+        assert 0 < kept < total  # some dups dropped at this threshold
+        assert set(out.columns) == {"vec_id", "embedding", "label"}
+
+    def test_semdedup_flag_mode(self, spark, fixture_dir):
+        p = write_yaml(fixture_dir, """
+stages:
+  emb:
+    type: process
+    steps:
+      load: {path: "/root/testdata/sf0.001/embeddings.parquet"}
+  flags:
+    type: semdedup
+    source: emb
+    params: {threshold: 0.45, n_centroids: 8, sample_n: 128,
+             keep_only: false, method: expr}
+""")
+        out = Quilt(spark).run_file(p)
+        rows = out.collect()
+        assert {r["kept"] for r in rows} == {True, False}
+        assert len(rows) == 500
