@@ -495,6 +495,17 @@ def q_minhash_pairs(spark, sf):
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=5, hash_fn="md5_60")
 
 
+def q_dedup_groups(spark, sf):
+    # pairs -> duplicate GROUPS: connected components (iterative
+    # min-label propagation) over the md5_60 minhash pair graph; the
+    # oracle computes the same closure with a recursive CTE
+    from qsvspark.functions import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=5, hash_fn="md5_60")
+    return connected_components(pairs)
+
+
 def q_simhash(spark, sf):
     from qsvspark.functions import simhash
 
@@ -980,7 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quarantine": q_pipeline_quarantine,
         "pack_sequences": q_pack_sequences,
         "join": q_join,
-        "join_left": q_join_left,
+        # join_left retired late in r5 for dedup_groups (pinned by
+        # TestRetiredRegistryVariants; join stays oracle-checked)
         "concat": q_concat,
         "stats": q_stats,
         "seq_pack": q_seq_pack,
@@ -1002,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1223,6 +1236,22 @@ def oracle_sql() -> dict[str, str]:
             " FROM seqs JOIN nd USING (seq_id)"
         ),
         "minhash_pairs": _minhash_oracle(),
+        # connected components over the same pair graph: DuckDB computes
+        # the transitive closure with a recursive CTE (UNION dedups, so
+        # the fixpoint terminates), then min-label per source — exactly
+        # the label the Spark iterative propagation converges to
+        "dedup_groups": (
+            "WITH RECURSIVE pairs AS (" + _minhash_oracle() + "),"
+            " cc_edges AS ("
+            " SELECT id_a AS src, id_b AS dst FROM pairs"
+            " UNION SELECT id_b, id_a FROM pairs),"
+            " reach(src, dst) AS ("
+            " SELECT src, src FROM cc_edges"
+            " UNION"
+            " SELECT r.src, e.dst FROM reach r JOIN cc_edges e ON r.dst = e.src)"
+            " SELECT src AS id, CAST(min(dst) AS BIGINT) AS group_id"
+            " FROM reach GROUP BY src"
+        ),
         "simhash": _simhash_oracle(),
         "pipeline_parse": (
             f"WITH tok AS ({_TOK_SQL})"
@@ -1259,10 +1288,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
-        "join_left": (
-            "SELECT c.c_custkey, c.c_nationkey AS n_nationkey, n.n_name "
-            "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
-        ),
+        # (r5) join_left oracle retired with its registry slot.
         "concat": "SELECT * FROM region UNION ALL SELECT * FROM region",
         "text_tokens": (
             r"SELECT doc_id, "

@@ -117,8 +117,8 @@ EXTENSIONS = [
     # r5: the materialized training-sequence table (full value oracle)
     "pack_sequences",
     # r5 wave 2: line-dup signals, vocabulary head, exact span pairs,
-    # SemDeDup-style semantic dedup
-    "line_dups", "vocab_topk", "span_pairs", "semdedup",
+    # SemDeDup-style semantic dedup, pair-graph connected components
+    "line_dups", "vocab_topk", "span_pairs", "semdedup", "dedup_groups",
 ]
 
 # skew stress: salted vs unsalted on a deliberately hot key (50% of rows
@@ -1243,17 +1243,27 @@ def main() -> None:
     section_probes["between_gbps"] = _bandwidth_probe(1)
     _section_done("headline")
 
+    # iterative ops run their driver loop (convergence-checked label
+    # propagation) at BUILD time — timing only the returned frame's scan
+    # would miss all the real work, so their reps re-run the build
+    iterative = {"dedup_groups"}
     for name in EXTENSIONS:
         try:
+            t0 = time.time()
             df = qs[name](spark, SF_DIR)
+            build = time.time() - t0
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            ext_timings[name] = round(time.time() - t0, 3)
+            ext_timings[name] = round(
+                time.time() - t0 + (build if name in iterative else 0), 3
+            )
             # steady rep, same rationale as the headline: fixed per-query
             # costs are irrelevant at 100 TB; the cold shot stays for
             # cross-round comparability (round-3's extension "regressions"
             # were unbracketed cold shots in a degraded host phase)
             t0 = time.time()
+            if name in iterative:
+                df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             ext_steady[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001

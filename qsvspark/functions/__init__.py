@@ -23,9 +23,11 @@ from qsvspark.functions.packing import (
     pack_stats,
 )
 from qsvspark.functions.dedup import (
+    connected_components,
     dedup_exact,
     embedding_near_dups,
     embedding_near_dups_lsh,
+    keep_representatives,
     minhash_lsh_pairs,
     ngram_jaccard,
     shared_span_pairs,
@@ -49,6 +51,7 @@ __all__ = [
     "ivf_topk", "train_ivf_centroids", "IvfIndex",
     "add_repetition_signals", "contamination", "scrub_pii", "word_ngrams",
     "add_line_dup_signals", "vocab_topk", "shared_span_pairs", "semantic_dedup",
+    "connected_components", "keep_representatives",
     "pack_chunked", "pack_greedy", "pack_stats",
     "materialize_chunked_sequences", "materialize_greedy_sequences",
 ]

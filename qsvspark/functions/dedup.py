@@ -436,6 +436,110 @@ def shared_span_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate GROUPS from duplicate PAIRS: connected components over
+    the pair graph, labeling every member with the smallest id in its
+    component — the canonical final step of a dedup pipeline
+    (minhash/simhash/span pairs → groups → keep one representative,
+    drop the rest).
+
+    Returns ``(id, group_id)`` for every id appearing in ``pairs``;
+    ``group_id`` = min id of the component.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the minimum of its own label and its neighbors' labels; the
+    loop stops when a round changes nothing. Rounds needed = graph
+    diameter, and near-dup components are by construction tiny, dense
+    clusters (diameter 1-3 — a doc cluster where A~B~C but A's label
+    must hop through B), so the loop converges in a handful of rounds.
+    Each round is one hash join (edges ⋈ labels) plus one groupBy-min —
+    both keyed shuffles on the id, no broadcast of anything
+    corpus-sized, and the per-round convergence check is a count-only
+    job over the changed rows. Labels are cached per round and
+    unpersisted after the next round materializes (at most two label
+    sets live at once). For adversarial long-chain graphs at extreme
+    scale, swap in the large-star/small-star recipe (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same output
+    contract; not needed for dedup-shaped graphs.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning partially-propagated labels. The returned frame reads the
+    final cached label set (node-count sized, tiny relative to the
+    corpus); persist it to a table and unpersist for long-lived
+    sessions."""
+    edges = pairs.select(
+        F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")
+    ).union(
+        pairs.select(F.col(id_b).alias("__src"), F.col(id_a).alias("__dst"))
+    ).distinct()
+    # initial label: min(self, smallest direct neighbor)
+    labels = edges.groupBy("__src").agg(
+        F.least(F.col("__src"), F.min("__dst")).alias("__lbl")
+    ).cache()
+    for _ in range(max_iter):
+        # each node pulls its neighbors' labels and keeps the min
+        # (labels derives from edges — rename its key first or the
+        # self-join is ambiguous)
+        lbl_by_node = labels.select(
+            F.col("__src").alias("__nbr"), F.col("__lbl")
+        )
+        neighbor_lbls = (
+            edges.join(lbl_by_node, edges["__dst"] == lbl_by_node["__nbr"])
+            .select(F.col("__src").alias("__id"), F.col("__lbl"))
+        )
+        new_labels = (
+            labels.select(F.col("__src").alias("__id"), "__lbl")
+            .union(neighbor_lbls)
+            .groupBy("__id")
+            .agg(F.min("__lbl").alias("__lbl"))
+            .select(F.col("__id").alias("__src"), "__lbl")
+        ).cache()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("__lbl", "__old"), "__src"
+            )
+            .filter(F.col("__lbl") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds the bound — use a larger max_iter "
+            f"or the large-star/small-star variant)"
+        )
+    return labels.select(
+        F.col("__src").alias("id"), F.col("__lbl").alias("group_id")
+    )
+
+
+def keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its component's smallest id:
+    connected_components over the pairs, then anti-join docs against
+    the non-representative members. Docs in no pair pass through
+    untouched (they are their own representative)."""
+    groups = connected_components(pairs, id_a, id_b)
+    losers = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),

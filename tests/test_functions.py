@@ -419,6 +419,48 @@ class TestRetiredRegistryVariants:
         assert len(pm) >= 3 and all(v > 0 for v in pm.values())
         ts = e.q_timeline_sum(spark, sf)
         assert ts.count() > 0 and "sum_cents" in ts.columns
+        # join_left rotated out for dedup_groups; join stays oracle-checked
+        jl = e.q_join_left(spark, sf)
+        assert jl.count() > 0 and "n_name" in jl.columns
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from qsvspark.functions import connected_components
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+        )
+        out = sorted(
+            (r["id"], r["group_id"])
+            for r in connected_components(pairs).collect()
+        )
+        assert out == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
+                       (10, 10), (11, 10)]
+
+    def test_non_convergence_raises(self, spark):
+        from qsvspark.functions import connected_components
+
+        # a 5-chain needs >1 propagation round; max_iter=1 must raise
+        # rather than return partially-propagated labels
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iter=1)
+
+    def test_keep_representatives(self, spark):
+        from qsvspark.functions import keep_representatives
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(0, 1), (1, 4)], ["id_a", "id_b"])
+        kept = sorted(
+            r["doc_id"] for r in keep_representatives(docs, pairs).collect()
+        )
+        # component {0,1,4} keeps 0; unpaired 2,3,5 pass through
+        assert kept == [0, 2, 3, 5]
 
 
 class TestLineDups:
